@@ -1,0 +1,25 @@
+"""tpu_sednn — TPU-native speech-enhancement DNN framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+yongxuUSTC/DNN-for-speech-enhancement (CUDA `BPtrain` + Perl recipe + offline
+Perl/Matlab tooling): regression DNNs mapping noisy log-power-spectrum (LPS)
+frames (context splicing + noise-aware-training estimate) to clean LPS or
+IRM/IBM mask targets, with on-device feature extraction, fused training steps,
+and data-parallel scaling over TPU meshes.
+
+Subpackages
+-----------
+io        byte-exact codecs for the reference file formats (pfile/.wts/.norm/HTK/wav)
+dsp       framing, STFT, log-power spectrum, overlap-add ISTFT
+data      input pipeline: chunk planning, splicing, NAT, noise mixing
+model     MLP definition, init schemes, dropout semantics
+train     fused train/eval steps (reference-parity + clean modes), epoch loop
+parallel  device mesh + sharding (DP over ICI; optional model axis)
+enhance   decode: forward pass + noisy-phase overlap-add reconstruction
+ops       Pallas TPU kernels (fused MLP layer chain, matmul STFT)
+metrics   CV-MSE, STOI/SegSNR/LSD quality metrics, throughput accounting
+recipes   epoch-schedule drivers replacing the Perl recipe
+tools     gen_rand_net / extend_net / weight exporters
+"""
+
+__version__ = "0.1.0"
