@@ -1,0 +1,10 @@
+from tpu_sednn.data.rand48 import Rand48
+from tpu_sednn.data.pipeline import (
+    ChunkPlan,
+    plan_chunks,
+    splice,
+    nat_estimate,
+    build_training_arrays,
+    read_chunk_parity,
+)
+from tpu_sednn.data.mixing import mix_at_snr, synth_speech, synth_noise

@@ -1,0 +1,84 @@
+"""Noise mixing and synthetic corpus generation.
+
+The reference builds its multi-condition set offline (TIMIT clean x 104-115
+noise types x 7 SNRs, README.md:13-24).  Here mixing is a one-liner that can
+run on device; the synthetic generators produce TIMIT-shaped material for
+tests and benchmarks without shipping corpora.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float,
+               rng: np.random.Generator | None = None) -> np.ndarray:
+    """clean + scaled noise at the given global-RMS SNR.
+
+    noise is tiled/cropped (with a random offset when rng is given) to match
+    the clean length.
+    """
+    clean = np.asarray(clean, np.float32)
+    noise = np.asarray(noise, np.float32)
+    n = len(clean)
+    if len(noise) < n:
+        noise = np.tile(noise, n // len(noise) + 1)
+    off = int(rng.integers(0, len(noise) - n + 1)) if rng is not None and len(noise) > n else 0
+    noise = noise[off : off + n]
+    p_c = float(np.mean(clean**2)) + 1e-12
+    p_n = float(np.mean(noise**2)) + 1e-12
+    scale = np.sqrt(p_c / (p_n * 10.0 ** (snr_db / 10.0)))
+    return (clean + scale * noise).astype(np.float32)
+
+
+def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000) -> np.ndarray:
+    """Speech-like synthetic signal: harmonic source with drifting pitch and
+    formant-ish AM envelopes.  Good enough to make LPS mapping learnable."""
+    t = np.arange(n_samples) / sr
+    f0 = 110.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 2 * np.pi))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    sig = np.zeros(n_samples)
+    for h in range(1, 6):
+        sig += rng.uniform(0.2, 1.0) / h * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t))
+    sig = sig * env
+    return (0.3 * sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
+
+
+def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -> np.ndarray:
+    if kind == "white":
+        x = rng.standard_normal(n_samples)
+    elif kind == "pink":
+        # -3 dB/octave via FFT shaping
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.maximum(np.fft.rfftfreq(n_samples), 1.0 / n_samples)
+        x = np.fft.irfft(spec / np.sqrt(f), n_samples)
+    elif kind == "babble":
+        x = sum(synth_speech(rng, n_samples) for _ in range(6))
+    else:
+        raise ValueError(f"unknown noise kind {kind}")
+    return (0.1 * x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def synth_corpus(
+    seed: int,
+    n_utts: int,
+    sr: int = 8000,
+    min_s: float = 1.0,
+    max_s: float = 3.0,
+    snrs: Tuple[float, ...] = (0.0, 5.0, 10.0),
+    noise_kinds: Tuple[str, ...] = ("white", "pink"),
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """-> (clean_wavs, noisy_wavs): a tiny multi-condition training corpus."""
+    rng = np.random.default_rng(seed)
+    cleans, noisys = [], []
+    for _ in range(n_utts):
+        n = int(rng.uniform(min_s, max_s) * sr)
+        c = synth_speech(rng, n, sr)
+        nz = synth_noise(rng, n, str(rng.choice(noise_kinds)))
+        snr = float(rng.choice(snrs))
+        cleans.append(c)
+        noisys.append(mix_at_snr(c, nz, snr, rng))
+    return cleans, noisys

@@ -1,0 +1,164 @@
+"""Epoch-level training driver — the in-process equivalent of `BPtrain main`
+(/root/reference/BPtrain.cc:16-97) plus the Perl epoch loop
+(finetune_DNN_speech_enhancement_dropout_NAT.pl).
+
+Unlike the reference (one process per epoch, state on disk between epochs),
+this keeps params + momentum on device across epochs and streams chunks
+through a single jitted chunk-trainer.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sednn.data.pipeline import ChunkPlan, plan_chunks, read_chunk_parity
+from tpu_sednn.data.rand48 import Rand48
+from tpu_sednn.io.norm import load_norm
+from tpu_sednn.io.pfile import read_pfile_info
+from tpu_sednn.io.wts import load_wts, save_wts
+from tpu_sednn.model.mlp import ModelConfig, params_from_wts, params_to_wts
+from tpu_sednn.train.step import (
+    OptConfig,
+    TrainState,
+    cv_squared_error,
+    init_train_state,
+    make_jit_train_chunk,
+)
+from tpu_sednn.utils.logging import Logger
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    cv_mse: float
+    train_samples: int
+    seconds: float
+    samples_per_sec: float
+
+
+def train_epoch_pfile(
+    state: TrainState,
+    cfg: ModelConfig,
+    opt: OptConfig,
+    fea_file: str,
+    targ_file: str,
+    norm_file: str,
+    fea_dim: int,
+    fea_context: int,
+    targ_offset: int,
+    train_sent_range: Tuple[int, int],
+    cv_sent_range: Tuple[int, int],
+    traincache: int,
+    seed: int,
+    nat: bool = True,
+    logger: Optional[Logger] = None,
+) -> Tuple[TrainState, EpochResult]:
+    """One epoch over pfiles with reference semantics (shuffled chunk order,
+    lrand48 scatter, quirk-exact update), then the CV pass.
+
+    This is `BPtrain` run once, as a function: same arguments, same logging
+    shape, state returned instead of written to disk.
+    """
+    log = logger or Logger()
+    t0 = time.time()
+    fea_info = read_pfile_info(fea_file, fea_dim)
+    out_dim = len(np.asarray(state.params["b"][-1]))
+    targ_info = read_pfile_info(targ_file, out_dim)
+    if fea_info.num_frames != targ_info.num_frames or fea_info.num_sentences != targ_info.num_sentences:
+        raise ValueError("feature/target pfiles inconsistent")
+    if not np.array_equal(fea_info.frames_before_sent, targ_info.frames_before_sent):
+        raise ValueError("feature/target pfile tails inconsistent")
+    mean, inv_std = load_norm(norm_file, fea_dim)
+
+    rand = Rand48(seed)  # single stream: weights were init'd first if parity init
+    plan = plan_chunks(fea_info.frames_before_sent, train_sent_range, fea_context, traincache)
+    log.info(
+        f"Training sentences have {plan.total_chunks} chunks, {plan.total_samples} samples."
+    )
+    chunk_order = rand.shuffle_indices(plan.total_chunks)
+
+    run_chunk = make_jit_train_chunk(cfg, opt)
+    rng = jax.random.key(seed)
+    for i, ci in enumerate(chunk_order):
+        indata, targ = read_chunk_parity(
+            fea_info, targ_info, plan, int(ci), fea_context, targ_offset,
+            mean, inv_std, rand, nat=nat,
+        )
+        rng, sub = jax.random.split(rng)
+        state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub)
+        log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
+
+    # CV phase (BPtrain.cc:61-87): unshuffled chunks, partial bunches included
+    cv_plan = plan_chunks(fea_info.frames_before_sent, cv_sent_range, fea_context, traincache)
+    sq_err = 0.0
+    for ci in range(cv_plan.total_chunks):
+        indata, targ = read_chunk_parity(
+            fea_info, targ_info, cv_plan, ci, fea_context, targ_offset,
+            mean, inv_std, None, nat=nat,
+        )
+        sq_err += float(cv_squared_error(state.params, jnp.asarray(indata), jnp.asarray(targ), cfg))
+    cv_mse = sq_err / max(cv_plan.total_samples, 1)
+    dt = time.time() - t0
+    log.info(f"CV over. squared error: {cv_mse:f}")
+    log.info(f"Total cost time: {dt:.1f} s.")
+    return state, EpochResult(
+        epoch=-1, cv_mse=cv_mse, train_samples=plan.total_samples,
+        seconds=dt, samples_per_sec=plan.total_samples / max(dt, 1e-9),
+    )
+
+
+def train_epochs_arrays(
+    state: TrainState,
+    cfg: ModelConfig,
+    opt_schedule: Callable[[int], OptConfig],
+    x: np.ndarray,
+    t: np.ndarray,
+    x_cv: np.ndarray,
+    t_cv: np.ndarray,
+    n_epochs: int,
+    seed: int = 0,
+    traincache: int = 102400,
+    logger: Optional[Logger] = None,
+    on_epoch: Optional[Callable[[int, TrainState, EpochResult], None]] = None,
+) -> Tuple[TrainState, List[EpochResult]]:
+    """In-memory epoch loop over prebuilt sample matrices (TPU-first path).
+
+    opt_schedule(epoch) supplies per-epoch lr/momentum (the Perl recipe's
+    momentum ramp 0.5 -> 0.9, finetune_...NAT.pl:36,138,221).
+    """
+    log = logger or Logger()
+    results: List[EpochResult] = []
+    n = x.shape[0]
+    key = jax.random.key(seed)
+    run_chunk = make_jit_train_chunk(cfg, opt_schedule(0))  # one compile; lr/m dynamic
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        opt = opt_schedule(epoch)
+        key, kperm = jax.random.split(key)
+        perm = np.asarray(jax.random.permutation(kperm, n))
+        for st in range(0, n, traincache):
+            idx = perm[st : st + traincache]
+            key, sub = jax.random.split(key)
+            state = run_chunk(
+                state, jnp.asarray(x[idx]), jnp.asarray(t[idx]), sub,
+                opt.lrate, opt.momentum, opt.weightcost,
+            )
+        cv_mse = float(
+            cv_squared_error(state.params, jnp.asarray(x_cv), jnp.asarray(t_cv), cfg)
+        ) / len(x_cv)
+        dt = time.time() - t0
+        res = EpochResult(epoch, cv_mse, n, dt, n / max(dt, 1e-9))
+        results.append(res)
+        log.info(
+            f"epoch {epoch}: cv_mse={cv_mse:.6f} lr={opt.lrate} m={opt.momentum} "
+            f"({res.samples_per_sec:.0f} samples/s)"
+        )
+        if on_epoch is not None:
+            on_epoch(epoch, state, res)
+    return state, results
