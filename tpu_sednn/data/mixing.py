@@ -34,16 +34,34 @@ def mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float,
 
 
 def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000) -> np.ndarray:
-    """Speech-like synthetic signal: harmonic source with drifting pitch and
-    formant-ish AM envelopes.  Good enough to make LPS mapping learnable."""
+    """Speech-like synthetic signal: broadband harmonic source (up to ~0.45*sr)
+    with drifting pitch, moving formant resonances, and noise-burst
+    "consonants" — enough spectral structure that the noisy->clean LPS mapping
+    is learnable across the whole band."""
     t = np.arange(n_samples) / sr
     f0 = 110.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 2 * np.pi))
     phase = 2 * np.pi * np.cumsum(f0) / sr
     sig = np.zeros(n_samples)
-    for h in range(1, 6):
-        sig += rng.uniform(0.2, 1.0) / h * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
-    env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t))
+    n_harm = int(0.45 * sr / 150.0)  # cover most of the band
+    # two moving formants impose a spectral envelope on the harmonics
+    fmt1 = 500.0 + 300.0 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t)
+    fmt2 = 1800.0 + 700.0 * np.sin(2 * np.pi * rng.uniform(0.2, 0.8) * t + 1.0)
+    for h in range(1, n_harm + 1):
+        fh = h * 130.0  # nominal harmonic frequency for envelope weighting
+        res = (
+            1.0 / (1.0 + ((fh - fmt1) / 300.0) ** 2)
+            + 0.7 / (1.0 + ((fh - fmt2) / 400.0) ** 2)
+            + 0.1
+        )
+        sig += (res / np.sqrt(h)) * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    # syllabic amplitude envelope
+    env = 0.35 + 0.65 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t))
     sig = sig * env
+    # unvoiced bursts: high-passed noise gated by a sparse envelope
+    burst_env = np.clip(np.sin(2 * np.pi * rng.uniform(0.8, 1.6) * t + rng.uniform(0, 6)) - 0.8, 0, 1) * 5
+    noise = rng.standard_normal(n_samples)
+    noise = np.diff(noise, prepend=0.0)  # crude high-pass
+    sig += 0.6 * burst_env * noise * sig.std()
     return (0.3 * sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
 
 

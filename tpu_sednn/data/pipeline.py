@@ -146,12 +146,19 @@ def build_training_arrays(
     nat: bool = True,
     mean: np.ndarray | None = None,
     inv_std: np.ndarray | None = None,
+    targ_mean: np.ndarray | None = None,
+    targ_inv_std: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Whole-corpus vectorized equivalent of the splice+NAT sample builder.
 
     utterances[i]: (n_i, d) noisy LPS; targets[i]: (n_i, d_out) clean LPS (or
     mask).  Output X: (N, d*context [+ d]), T: (N, d_out), N = sum of
     per-utterance n_i - context + 1 (short utterances contribute 0).
+
+    targ_mean/targ_inv_std optionally normalize the regression targets (a
+    clean-mode extension; the reference trains on raw clean LPS, which is
+    ill-conditioned when the spectrum hits the log floor — decode denormalizes
+    via the same stats).
     """
     xs, ts = [], []
     for u, t in zip(utterances, targets):
@@ -165,7 +172,10 @@ def build_training_arrays(
             est = np.broadcast_to(nat_estimate(u), (sx.shape[0], u.shape[1]))
             sx = np.concatenate([sx, est], axis=1)
         xs.append(sx.astype(np.float32))
-        ts.append(np.asarray(t, np.float32)[targ_offset : targ_offset + sx.shape[0]])
+        t = np.asarray(t, np.float32)[targ_offset : targ_offset + sx.shape[0]]
+        if targ_mean is not None:
+            t = (t - targ_mean) * targ_inv_std
+        ts.append(t)
     if not xs:
         raise ValueError("no utterance long enough for the context window")
     return np.concatenate(xs), np.concatenate(ts)

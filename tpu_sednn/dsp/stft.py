@@ -155,7 +155,10 @@ def istft_overlap_add(
     wsum = jnp.zeros(total, frames.dtype).at[idx].add(jnp.tile(w * w, n_frames))
     sig = sig / jnp.maximum(wsum, 1e-8)
     if n_samples is not None:
-        sig = sig[:n_samples]
+        if n_samples > total:  # framing truncated the tail; zero-pad back
+            sig = jnp.concatenate([sig, jnp.zeros(n_samples - total, sig.dtype)])
+        else:
+            sig = sig[:n_samples]
     return sig
 
 

@@ -1,0 +1,138 @@
+"""Enhancement decode: the layer the reference ships only as an external
+binary/Matlab tool (README.md:39-48; weight export via
+toolbox/weights/change_cudaSavedModels2matlabWeigths_4layers.m).
+
+Pipeline: noisy wav -> STFT -> noisy LPS -> normalize -> splice(+NAT) ->
+DNN forward -> enhanced LPS (directly, or via an IRM/IBM mask applied to the
+noisy spectrum) -> overlap-add ISTFT with the noisy phase -> enhanced wav.
+
+Everything is jit-able end to end; a whole utterance is one batched forward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sednn.dsp.stft import (
+    LPS_FLOOR,
+    StftConfig,
+    reconstruct_from_lps,
+    stft_real_imag,
+)
+from tpu_sednn.model.mlp import ModelConfig, Params, forward_eval
+
+
+@dataclass(frozen=True)
+class EnhanceConfig:
+    stft: StftConfig
+    fea_context: int = 11
+    targ_offset: int = 5
+    nat: bool = True
+    nat_frames: int = 6
+    head: str = "lps"  # "lps" | "irm" | "ibm"
+    mask_floor: float = 0.0  # mask post-processing (Interspeech'15 style)
+    mask_smooth: int = 0  # moving-average width over time, 0/1 = off
+    ibm_threshold: float = 0.5
+
+
+def _splice_jnp(lps: jnp.ndarray, context: int, targ_offset: int) -> jnp.ndarray:
+    """Edge-replicated splicing so every frame gets a prediction.
+
+    Training windows exist only for interior frames; decode pads the feature
+    sequence (targ_offset frames before, context-1-targ_offset after) with
+    edge replication so window j predicts frame j for all j.
+    """
+    pad_l, pad_r = targ_offset, context - 1 - targ_offset
+    padded = jnp.concatenate(
+        [jnp.repeat(lps[:1], pad_l, axis=0), lps, jnp.repeat(lps[-1:], pad_r, axis=0)]
+    )
+    n = lps.shape[0]
+    idx = jnp.arange(n)[:, None] + jnp.arange(context)[None, :]
+    return padded[idx].reshape(n, context * lps.shape[1])
+
+
+def enhance_lps(
+    params: Params,
+    model_cfg: ModelConfig,
+    enh_cfg: EnhanceConfig,
+    noisy_lps: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    target_norm: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> jnp.ndarray:
+    """Noisy LPS (n_frames, d) -> enhanced LPS (n_frames, d).
+
+    target_norm=(targ_mean, targ_inv_std) if the model was trained on
+    normalized targets; the output is denormalized accordingly.
+    """
+    normed = (noisy_lps - mean) * inv_std
+    x = _splice_jnp(normed, enh_cfg.fea_context, enh_cfg.targ_offset)
+    if enh_cfg.nat:
+        est = jnp.mean(normed[: enh_cfg.nat_frames], axis=0)
+        x = jnp.concatenate([x, jnp.broadcast_to(est, (x.shape[0], normed.shape[1]))], axis=1)
+    out = forward_eval(params, x, model_cfg)
+    if target_norm is not None and enh_cfg.head == "lps":
+        t_mean, t_inv_std = target_norm
+        out = out / t_inv_std + t_mean
+    if enh_cfg.head == "lps":
+        return out
+    return lps_from_mask(out, noisy_lps, enh_cfg)
+
+
+def lps_from_mask(mask: jnp.ndarray, noisy_lps: jnp.ndarray, enh_cfg: EnhanceConfig) -> jnp.ndarray:
+    """Apply an estimated IRM/IBM magnitude mask to the noisy spectrum."""
+    mask = postprocess_mask(mask, enh_cfg)
+    if enh_cfg.head == "ibm":
+        mask = (mask >= enh_cfg.ibm_threshold).astype(noisy_lps.dtype)
+        mask = jnp.maximum(mask, enh_cfg.mask_floor if enh_cfg.mask_floor > 0 else 1e-3)
+    # magnitude-domain mask: |X_enh| = m * |X_noisy| -> LPS + 2*ln(m)
+    return noisy_lps + 2.0 * jnp.log(jnp.maximum(mask, 1e-6))
+
+
+def postprocess_mask(mask: jnp.ndarray, enh_cfg: EnhanceConfig) -> jnp.ndarray:
+    """Mask post-processing in the spirit of the Interspeech 2015 follow-up
+    the reference README cites (README.md:66-71): clip to [floor, 1] to bound
+    maximum suppression, and smooth over time to reduce musical noise."""
+    mask = jnp.clip(mask, 0.0, 1.0)
+    if enh_cfg.mask_floor > 0.0:
+        mask = jnp.maximum(mask, enh_cfg.mask_floor)
+    if enh_cfg.mask_smooth > 1:
+        k = enh_cfg.mask_smooth
+        kern = jnp.ones((k,)) / k
+        pad = k // 2
+        padded = jnp.concatenate(
+            [jnp.repeat(mask[:1], pad, 0), mask, jnp.repeat(mask[-1:], k - 1 - pad, 0)]
+        )
+        mask = jax.vmap(
+            lambda col: jnp.convolve(col, kern, mode="valid"), in_axes=1, out_axes=1
+        )(padded)
+    return mask
+
+
+def enhance_waveform(
+    params: Params,
+    model_cfg: ModelConfig,
+    enh_cfg: EnhanceConfig,
+    noisy: np.ndarray | jnp.ndarray,
+    mean: np.ndarray,
+    inv_std: np.ndarray,
+    target_norm: Tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
+    """Noisy waveform -> enhanced waveform (noisy-phase overlap-add)."""
+    noisy = jnp.asarray(noisy, jnp.float32)
+    re, im = stft_real_imag(noisy, enh_cfg.stft)
+    noisy_lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
+    tn = None
+    if target_norm is not None:
+        tn = (jnp.asarray(target_norm[0]), jnp.asarray(target_norm[1]))
+    enh_lps = enhance_lps(
+        params, model_cfg, enh_cfg, noisy_lps, jnp.asarray(mean), jnp.asarray(inv_std),
+        target_norm=tn,
+    )
+    out = reconstruct_from_lps(enh_lps, re, im, enh_cfg.stft, n_samples=noisy.shape[0])
+    return np.asarray(out)

@@ -1,0 +1,2 @@
+from tpu_sednn.metrics.quality import stoi, seg_snr, lsd, si_sdr, snr
+from tpu_sednn.metrics.throughput import audio_seconds_per_second

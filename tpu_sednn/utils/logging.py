@@ -16,17 +16,19 @@ from typing import IO, Any, Dict, Optional
 
 
 class Logger:
+    _DEFAULT = object()  # sentinel: stream=None means "silent"
+
     def __init__(
         self,
         log_path: Optional[str] = None,
         metrics_path: Optional[str] = None,
-        stream: Optional[IO[str]] = None,
+        stream: Any = _DEFAULT,
         is_host0: bool = True,
     ):
         self.is_host0 = is_host0
         self._fp = open(log_path, "a") if (log_path and is_host0) else None
         self._mfp = open(metrics_path, "a") if (metrics_path and is_host0) else None
-        self._stream = stream if stream is not None else sys.stderr
+        self._stream = sys.stderr if stream is Logger._DEFAULT else stream
 
     def info(self, msg: str) -> None:
         if not self.is_host0:
