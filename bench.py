@@ -1,0 +1,150 @@
+"""Training-throughput benchmark on the canonical reference workload.
+
+Workload: the recipe's flagship net 1548 -> 2048 x3 -> 129 (129-dim LPS,
+11-frame context + NAT), bunch 128, dropout 0.1/0.2 — the exact shape trained
+by finetune_DNN_speech_enhancement_dropout_NAT.pl (reference lines 11-19,
+101-103).  One training sample = one 16 ms frame hop of audio, so
+
+    audio_seconds/s/chip = samples_per_sec * 0.016 / n_chips.
+
+Baseline: the reference publishes NO numbers (BASELINE.md).  We use a
+documented engineering estimate of its CUDA-5-era single-GPU trainer:
+~11.8 M params => ~71 MFLOP/sample (fwd+bwd ~= 6 FLOP/param); a K20-class
+fp32 GPU sustains ~1.2 TFLOP/s on this GEMM mix => ~16.9 k samples/s
+=> ~270 audio-s/s.  vs_baseline is measured against REF_AUDIO_S_PER_S = 270.
+
+Prints ONE JSON line:
+  {"metric": "train_audio_seconds_per_sec_per_chip", "value": ..., "unit":
+   "audio_s/s/chip", "vs_baseline": ...}
+plus informative extras (parity-fp32 path, samples/s, step time).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def _sync(tree):
+    """Force completion via a tiny host readback.
+
+    Under the axon relay, jax.block_until_ready returns before the remote
+    execution finishes (verified empirically: it reported >4 PFLOP/s); a
+    device_get of any output is the only reliable fence.
+    """
+    import jax
+
+    leaf = jax.tree.leaves(tree)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+REF_AUDIO_S_PER_S = 270.0  # documented estimate, see module docstring
+HOP_SECONDS = 0.016  # 16 ms frame shift (how_to_get_pfile.txt:54)
+LAYERS = (1548, 2048, 2048, 2048, 129)
+BUNCH = 128
+
+
+def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.model import ModelConfig, init_params
+    from tpu_sednn.train import init_train_state, make_jit_train_chunk
+    from tpu_sednn.train.step import OptConfig, clean_train_step
+
+    if mode == "parity":
+        cfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
+                          dropout_mode="parity")
+    else:
+        cfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
+                          dropout_mode="inverted")
+    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=BUNCH)
+
+    params = init_params(jax.random.key(0), cfg, scheme="glorot")
+    state = init_train_state(params)
+
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (n_samples, LAYERS[0]), jnp.float32)
+    t = jax.random.normal(jax.random.fold_in(key, 1), (n_samples, LAYERS[-1]), jnp.float32)
+
+    if mode == "parity":
+        run = make_jit_train_chunk(cfg, opt)
+
+        def step(state, rng):
+            return run(state, x, t, rng)
+    else:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chunk_bf16(state, x, t, rng):
+            n_bunches = n_samples // BUNCH
+            xb = x[: n_bunches * BUNCH].reshape(n_bunches, BUNCH, -1)
+            tb = t[: n_bunches * BUNCH].reshape(n_bunches, BUNCH, -1)
+            rngs = jax.random.split(rng, n_bunches)
+
+            def body(st, inp):
+                xi, ti, r = inp
+                st, loss = clean_train_step(st, xi, ti, cfg, opt, rng=r,
+                                            compute_dtype=jnp.bfloat16)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (xb, tb, rngs))
+            return state
+
+        def step(state, rng):
+            return chunk_bf16(state, x, t, rng)
+
+    # warmup / compile (first remote compile+execute can take minutes)
+    state = step(state, jax.random.key(10))
+    _sync(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state = step(state, jax.random.key(100 + i))
+    _sync(state.params)
+    dt = time.perf_counter() - t0
+
+    n_bunches = n_samples // BUNCH
+    total_samples = reps * n_bunches * BUNCH
+    sps = total_samples / dt
+    return {
+        "samples_per_sec": sps,
+        "step_ms": 1000.0 * dt / (reps * n_bunches),
+        "audio_s_per_s": sps * HOP_SECONDS,
+    }
+
+
+def main():
+    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
+
+    # At bunch=128 the step is HBM-bound on weight traffic (~190 MB/step), so
+    # parity fp32 and bf16 are within noise of each other; the headline is the
+    # parity path — the exact reference semantics on the exact workload.
+    parity = bench_mode("parity", n_samples, reps)
+    clean = bench_mode("clean", n_samples, reps)
+    print(f"# parity fp32: {parity}", file=sys.stderr)
+    print(f"# clean bf16: {clean}", file=sys.stderr)
+
+    value = parity["audio_s_per_s"]
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / REF_AUDIO_S_PER_S, 2),
+        "clean_bf16_audio_s_per_s": round(clean["audio_s_per_s"], 1),
+        "samples_per_sec": round(parity["samples_per_sec"]),
+        "step_ms": round(parity["step_ms"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+from tpu_sednn.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_dp_train_chunk,
+    make_auto_sharded_train_chunk,
+    initialize_distributed,
+)

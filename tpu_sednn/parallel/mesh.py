@@ -1,0 +1,218 @@
+"""Device mesh + sharding — the TPU-native replacement for the reference's
+(disabled) multi-GPU path.
+
+The reference's parallelism story (SURVEY.md §2.3): split each bunch across
+GPUs, sum weight/bias gradients onto GPU 0 over CUDA P2P cublasSaxpy, update
+there, broadcast weights back (BP_GPU.cu:775-908, call disabled at :312-313).
+
+Here the same semantics — sum grads over the global bunch, one update,
+replicated params — are expressed two ways:
+
+* `make_dp_train_chunk`: explicit `shard_map` over a 1-D "data" mesh axis with
+  `lax.psum` for the gradient reduction.  Collectives ride ICI; everything
+  else is local.  This is the production DP path and preserves parity math
+  (gradient normalization by the GLOBAL bunch size).
+* `make_auto_sharded_train_chunk`: jit + NamedSharding annotations over a 2-D
+  ("data", "model") mesh; XLA's SPMD partitioner inserts the collectives.
+  The model axis shards the hidden dimension (useful only for mega-batch
+  demos — the MLP fits on one chip — but it exercises TP-style sharding).
+
+Multi-host: `initialize_distributed` wraps jax.distributed.initialize; with
+jax.make_mesh over all devices, data shards per-host land on local chips and
+gradient psums cross hosts over DCN automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpu_sednn.model.mlp import ModelConfig
+from tpu_sednn.train.step import OptConfig, TrainState, reference_train_chunk
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = devices[: n_data * n_model]
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed).  No-op if already initialized
+    or single-process."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process launch
+
+
+# ---------------------------------------------------------------------------
+# explicit-DP chunk trainer (shard_map + psum)
+# ---------------------------------------------------------------------------
+
+def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
+    """DP chunk trainer: each device scans its local bunch slices; per-bunch
+    gradients are psum'd over the "data" axis before the (replicated) update.
+
+    Parity semantics: the loss inside reference_train_chunk normalizes by the
+    LOCAL row count n_local; psum of those local grads equals the single-chip
+    gradient scaled by n_devices, so we pre-divide lrate by n_devices... no —
+    we keep the math exact instead: the local loss uses sum/n_global, making
+    the psum'd gradient exactly the single-chip one.  Implemented by passing a
+    wrapped step that rescales the local loss.
+    """
+    n_dev = mesh.shape["data"]
+    if opt.bunchsize % n_dev != 0:
+        raise ValueError(f"bunchsize {opt.bunchsize} not divisible by mesh data={n_dev}")
+    bs_local = opt.bunchsize // n_dev
+
+    from tpu_sednn.model.mlp import forward
+
+    def local_step(state: TrainState, x, t, rng, lrate, momentum, weightcost):
+        n_global = opt.bunchsize
+
+        def loss_fn(p):
+            out = forward(p, x, cfg, train=True, rng=rng)
+            return jnp.sum((out - t) ** 2) / n_global  # global normalization
+
+        grads = jax.grad(loss_fn)(state.params)
+        grads = jax.lax.psum(grads, "data")  # == single-chip gradient, exactly
+
+        def upd(delta, p, g, wc):
+            nd = momentum * delta - (1.0 - momentum) * lrate * (g / n_global + wc * p)
+            return nd, p + nd
+
+        new_w = [upd(d, w, g, weightcost) for d, w, g in
+                 zip(state.deltas["w"], state.params["w"], grads["w"])]
+        new_b = [upd(d, b, g, 0.0) for d, b, g in
+                 zip(state.deltas["b"], state.params["b"], grads["b"])]
+        dw, w = zip(*new_w)
+        db, b = zip(*new_b)
+        return TrainState(params={"w": w, "b": b}, deltas={"w": dw, "b": db},
+                          step=state.step + 1)
+
+    def chunk_shard(state: TrainState, x_local, t_local, rng, lrate, momentum, weightcost):
+        n_local = x_local.shape[0]
+        n_bunches = n_local // bs_local
+        xb = x_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, -1)
+        tb = t_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, -1)
+        rngs = jax.random.split(rng, n_bunches)
+
+        def body(st, inp):
+            x, t, r = inp
+            # fold in the device index so dropout masks differ across shards
+            r = jax.random.fold_in(r, jax.lax.axis_index("data"))
+            return local_step(st, x, t, r, lrate, momentum, weightcost), None
+
+        state, _ = jax.lax.scan(body, state, (xb, tb, rngs))
+        return state
+
+    sharded = shard_map(
+        chunk_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: TrainState, in_chunk, targ_chunk, rng,
+            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
+        # Regroup rows so global bunch b = concat over devices of each
+        # device's b-th local slice — the reference's bunch_part split
+        # (BP_GPU.cu:29-37).  Without this, contiguous sharding would form
+        # different bunches than a single chip and break step-for-step parity.
+        n = in_chunk.shape[0]
+        n_bunches = n // opt.bunchsize
+
+        def regroup(a):
+            a = a[: n_bunches * opt.bunchsize]
+            a = a.reshape(n_bunches, n_dev, bs_local, -1)
+            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_bunches * bs_local, -1)
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P("data")))
+
+        return sharded(state, regroup(in_chunk), regroup(targ_chunk), rng,
+                       jnp.float32(lrate), jnp.float32(momentum), jnp.float32(weightcost))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# auto-SPMD (jit + sharding annotations, 2-D mesh)
+# ---------------------------------------------------------------------------
+
+def state_shardings(state: TrainState, mesh: Mesh, shard_model_axis: bool) -> TrainState:
+    """NamedShardings for a TrainState: params/deltas replicated over "data";
+    optionally hidden (non-IO) weight dims sharded over "model"."""
+
+    def spec_for_w(w: jnp.ndarray) -> NamedSharding:
+        if shard_model_axis:
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    def spec_for_b(b: jnp.ndarray) -> NamedSharding:
+        if shard_model_axis:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return TrainState(
+        params={"w": tuple(spec_for_w(w) for w in state.params["w"]),
+                "b": tuple(spec_for_b(b) for b in state.params["b"])},
+        deltas={"w": tuple(spec_for_w(w) for w in state.deltas["w"]),
+                "b": tuple(spec_for_b(b) for b in state.deltas["b"])},
+        step=NamedSharding(mesh, P()),
+    )
+
+
+def make_auto_sharded_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh,
+                                  shard_model_axis: bool = True):
+    """jit-auto-partitioned chunk trainer over a ("data", "model") mesh.
+
+    Batch rows shard over "data"; weight columns (hidden units) over "model".
+    XLA inserts the all-reduces.  Dropout must be off for this path to keep
+    mask shapes unsharded-agnostic (use the shard_map path for dropout runs).
+    """
+    dummy_state_sh = None  # resolved lazily at first call
+
+    def run(state: TrainState, in_chunk, targ_chunk, rng,
+            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
+        st_sh = state_shardings(state, mesh, shard_model_axis)
+        data_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(
+            lambda s, x, t, r, lr, m, wc: reference_train_chunk(
+                s, x, t, cfg,
+                OptConfig(lrate=lr, momentum=m, weightcost=wc, bunchsize=opt.bunchsize),
+                r,
+            ),
+            in_shardings=(st_sh, data_sh, data_sh, rep, rep, rep, rep),
+            out_shardings=st_sh,
+        )
+        return fn(state, in_chunk, targ_chunk, rng,
+                  jnp.float32(lrate), jnp.float32(momentum), jnp.float32(weightcost))
+
+    return run

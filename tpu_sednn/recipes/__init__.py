@@ -1,0 +1,1 @@
+from tpu_sednn.recipes.finetune_nat import RecipeConfig, run_recipe, recipe_opt_schedule

@@ -1,0 +1,110 @@
+"""Network generation / widening tools.
+
+Equivalents of the reference's offline weight toolchain
+(/root/reference/toolbox/weights/gen_rand_net/):
+
+* `gen_rand_net`  — Gen_rand_net.cpp:84-101: uniform random weights with
+  fan-in (flag 0: U(+-beta/sqrt(n_in))) or Glorot (flag 1:
+  U(+-beta*sqrt(6)/sqrt(n_in+n_out))) range, zero biases, written in `.wts`
+  layout.
+* `extend_net`    — Extend_rand_net.cpp:255-284: grow each layer to
+  ori+add units; the old block is kept at W[:ori_prev, :ori_cur], new
+  rows/columns get Glorot randoms at the NEW sizes, new biases are zero.
+* `extend_net_boost` — Extend_rand_net_boost.cpp:193-218: same geometry but
+  new weights/biases are RESAMPLED uniformly from the layer's existing
+  weight/bias pool (Net2Net-flavored widening).
+
+All three operate on in-memory (weights, biases) lists in this framework's
+(prev, cur) convention — which is also the file layout the reference's
+extend tools index by (`weights[m*cur + n]`, m=prev, n=cur).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+Net = Tuple[List[np.ndarray], List[np.ndarray]]
+
+
+def gen_rand_net(
+    layersizes: Sequence[int],
+    flag: int = 1,
+    beta: float = 1.0,
+    seed: int = 0,
+) -> Net:
+    rng = np.random.default_rng(seed)
+    ws, bs = [], []
+    for i in range(1, len(layersizes)):
+        n_in, n_out = layersizes[i - 1], layersizes[i]
+        if flag:
+            rng_range = beta * np.sqrt(6.0) / np.sqrt(n_in + n_out)
+        else:
+            rng_range = beta / np.sqrt(n_in)
+        ws.append(rng.uniform(-rng_range, rng_range, (n_in, n_out)).astype(np.float32))
+        bs.append(np.zeros(n_out, np.float32))
+    return ws, bs
+
+
+def _check_extend(ori: Sequence[int], add: Sequence[int]):
+    if len(ori) != len(add):
+        raise ValueError("ori_layersizes and add_layersizes length mismatch")
+    if add[0] != 0 or add[-1] != 0:
+        raise ValueError("input/output layer sizes cannot grow (reference semantics)")
+
+
+def extend_net(
+    weights: Sequence[np.ndarray],
+    biases: Sequence[np.ndarray],
+    add_layersizes: Sequence[int],
+    beta: float = 1.0,
+    seed: int = 0,
+) -> Net:
+    ori = [weights[0].shape[0]] + [w.shape[1] for w in weights]
+    _check_extend(ori, add_layersizes)
+    new_sizes = [o + a for o, a in zip(ori, add_layersizes)]
+    rng = np.random.default_rng(seed)
+    ws, bs = [], []
+    for i in range(1, len(new_sizes)):
+        prev, cur = new_sizes[i - 1], new_sizes[i]
+        o_prev, o_cur = ori[i - 1], ori[i]
+        rng_range = beta * np.sqrt(6.0) / np.sqrt(prev + cur)
+        w = np.zeros((prev, cur), np.float32)
+        w[:o_prev, :o_cur] = weights[i - 1]
+        # all rows x new columns, then new rows x old columns
+        w[:, o_cur:] = rng.uniform(-rng_range, rng_range, (prev, cur - o_cur))
+        w[o_prev:, :o_cur] = rng.uniform(-rng_range, rng_range, (prev - o_prev, o_cur))
+        b = np.zeros(cur, np.float32)
+        b[:o_cur] = biases[i - 1]
+        ws.append(w)
+        bs.append(b)
+    return ws, bs
+
+
+def extend_net_boost(
+    weights: Sequence[np.ndarray],
+    biases: Sequence[np.ndarray],
+    add_layersizes: Sequence[int],
+    seed: int = 0,
+) -> Net:
+    ori = [weights[0].shape[0]] + [w.shape[1] for w in weights]
+    _check_extend(ori, add_layersizes)
+    new_sizes = [o + a for o, a in zip(ori, add_layersizes)]
+    rng = np.random.default_rng(seed)
+    ws, bs = [], []
+    for i in range(1, len(new_sizes)):
+        prev, cur = new_sizes[i - 1], new_sizes[i]
+        o_prev, o_cur = ori[i - 1], ori[i]
+        pool_w = np.asarray(weights[i - 1], np.float32).ravel()
+        pool_b = np.asarray(biases[i - 1], np.float32)
+        w = np.zeros((prev, cur), np.float32)
+        w[:o_prev, :o_cur] = weights[i - 1]
+        w[:, o_cur:] = rng.choice(pool_w, size=(prev, cur - o_cur))
+        w[o_prev:, :o_cur] = rng.choice(pool_w, size=(prev - o_prev, o_cur))
+        b = np.zeros(cur, np.float32)
+        b[:o_cur] = pool_b
+        b[o_cur:] = rng.choice(pool_b, size=cur - o_cur)
+        ws.append(w)
+        bs.append(b)
+    return ws, bs

@@ -58,6 +58,7 @@ def train_epoch_pfile(
     seed: int,
     nat: bool = True,
     logger: Optional[Logger] = None,
+    rand: Optional[Rand48] = None,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
@@ -76,7 +77,9 @@ def train_epoch_pfile(
         raise ValueError("feature/target pfile tails inconsistent")
     mean, inv_std = load_norm(norm_file, fea_dim)
 
-    rand = Rand48(seed)  # single stream: weights were init'd first if parity init
+    # single srand48 stream per run: parity init consumed it first, so accept
+    # the caller's instance to continue the exact sequence (Interface.cc:337)
+    rand = rand if rand is not None else Rand48(seed)
     plan = plan_chunks(fea_info.frames_before_sent, train_sent_range, fea_context, traincache)
     log.info(
         f"Training sentences have {plan.total_chunks} chunks, {plan.total_samples} samples."
