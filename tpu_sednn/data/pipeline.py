@@ -196,13 +196,21 @@ def read_chunk_parity(
     inv_std: np.ndarray,
     rand: Rand48 | None,
     nat: bool = True,
+    use_native: bool | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One chunk of (indata, targ), shuffled exactly like the reference.
 
     rand=None reproduces Readchunk_cv (no shuffle, Interface.cc:901-904);
     otherwise the lrand48 Fisher-Yates scatter of Readchunk.  NAT appends the
     per-sentence-segment first-6-frames mean (Interface.cc:776-779).
+
+    use_native: route the hot loops through the threaded C++ library
+    (native/pfile_native.cpp); None = auto (use it when built).
     """
+    from tpu_sednn.io import native as _native
+
+    if use_native is None:
+        use_native = _native.available()
     fbs = fea_info.frames_before_sent
     starts = plan.chunk_frame_st
     if chunk_index == plan.total_chunks - 1:
@@ -212,25 +220,46 @@ def read_chunk_parity(
         frames_need = int(starts[chunk_index + 1]) - int(starts[chunk_index])
         samples_in_chunk = plan.traincache
 
-    fea = read_pfile_frames(fea_info.path, fea_info.fea_dim, int(starts[chunk_index]), frames_need)
-    fea = (fea - mean) * inv_std
-    targ = read_pfile_frames(
-        targ_info.path, targ_info.fea_dim, int(starts[chunk_index]), frames_need
-    )
-
     d = fea_info.fea_dim
     d_out = targ_info.fea_dim
+    start = int(starts[chunk_index])
+    sample_index = (
+        rand.shuffle_indices(samples_in_chunk) if rand is not None
+        else np.arange(samples_in_chunk)
+    )
+    segs = _segments_in_chunk(fbs, start, frames_need)
+    seg_off = np.array([o for o, _ in segs], np.int64)
+    seg_len = np.array([l for _, l in segs], np.int64)
+
+    if use_native:
+        from tpu_sednn.io.pfile import PFILE_HEADER_SIZE
+
+        fea = _native.read_frames_native(
+            fea_info.path, PFILE_HEADER_SIZE, start, frames_need, d, mean, inv_std
+        )
+        targ = _native.read_frames_native(
+            targ_info.path, PFILE_HEADER_SIZE, start, frames_need, d_out, None, None
+        )
+        indata = _native.splice_scatter_native(
+            fea, seg_off, seg_len, fea_context, nat, sample_index, samples_in_chunk
+        )
+        outdata = _native.target_scatter_native(
+            targ, seg_off, seg_len, fea_context, targ_offset, sample_index, samples_in_chunk
+        )
+        return indata, outdata
+
+    fea = read_pfile_frames(fea_info.path, d, start, frames_need)
+    fea = (fea - mean) * inv_std
+    targ = read_pfile_frames(targ_info.path, d_out, start, frames_need)
+
     in_dim = d * fea_context + (d if nat else 0)
-
-    sample_index = rand.shuffle_indices(samples_in_chunk) if rand is not None else np.arange(samples_in_chunk)
-
     indata = np.zeros((samples_in_chunk, in_dim), np.float32)
     outdata = np.zeros((samples_in_chunk, d_out), np.float32)
     cur = 0
-    for off, seg_len in _segments_in_chunk(fbs, int(starts[chunk_index]), frames_need):
-        if seg_len < fea_context:
+    for off, seg_len_i in segs:
+        if seg_len_i < fea_context:
             continue
-        seg = fea[off : off + seg_len]
+        seg = fea[off : off + seg_len_i]
         sx = splice(seg, fea_context)
         n_s = sx.shape[0]
         rows = sample_index[cur : cur + n_s]
