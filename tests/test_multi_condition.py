@@ -1,0 +1,55 @@
+"""Mini end-to-end run of the multi-condition pipeline (DP over 8 CPU devs)."""
+
+import json
+import os
+
+import numpy as np
+
+from tpu_sednn.recipes.multi_condition import MultiConditionConfig, run_multi_condition
+from tpu_sednn.utils.logging import Logger
+
+
+def test_multi_condition_mini(tmp_path):
+    mc = MultiConditionConfig(
+        out_dir=str(tmp_path / "mc"),
+        n_utts=16,
+        snrs=(0.0, 5.0),
+        noise_kinds=("white",),
+        fea_context=3,
+        targ_offset=1,
+        hidden=(128, 128),
+        n_epochs=5,
+        bunchsize=64,
+        use_dp_mesh=True,
+    )
+    res = run_multi_condition(mc, logger=Logger(stream=None))
+    assert res["cv_hist"][-1] < res["cv_hist"][0]
+    ev = res["eval"]["synthetic_0dB"]
+    assert ev["snr_enh"] > ev["snr_noisy"]
+    assert os.path.exists(str(tmp_path / "mc" / "mlp.final.wts"))
+    assert os.path.exists(str(tmp_path / "mc" / "fea.norm"))
+    assert res["eval"]["reference_demo"]["finite"]
+    with open(str(tmp_path / "mc" / "results.json")) as f:
+        assert json.load(f)["cv_hist"] == res["cv_hist"]
+
+
+def test_prefetcher_order_and_errors():
+    from tpu_sednn.data.prefetch import Prefetcher
+
+    out = list(Prefetcher(range(10), lambda i: i * i, depth=3))
+    assert out == [i * i for i in range(10)]
+
+    def boom(i):
+        if i == 3:
+            raise RuntimeError("boom")
+        return i
+
+    it = iter(Prefetcher(range(5), boom, depth=2))
+    got = []
+    try:
+        for v in it:
+            got.append(v)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+    assert got == [0, 1, 2]

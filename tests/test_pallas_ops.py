@@ -22,7 +22,7 @@ def test_fused_linear_act_matches_xla():
         ("relu", lambda z: jnp.maximum(z, 0)),
         ("sigmoid", jax.nn.sigmoid),
     ]:
-        got = fused_linear_act(x, w, b, act=act, block_n=128, interpret=True)
+        got = fused_linear_act(x, w, b, act=act, block_n=128, interpret=True, bf16=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x @ w + b)),
                                    rtol=1e-5, atol=1e-5)
 
@@ -51,7 +51,7 @@ def test_fused_bwd_update_matches_reference_math():
     w_, d_, dedy, b_, db_ = fused_bwd_update(
         dedx, yprev, w, delta, b, db,
         jnp.float32(m), jnp.float32(lr), jnp.float32(inv_n), jnp.float32(wc),
-        block_k=128, block_n=128, interpret=True,
+        block_k=128, block_n=128, interpret=True, bf16=False,
     )
     g = np.asarray(yprev).T @ np.asarray(dedx)
     exp_delta = m * np.asarray(delta) - (1 - m) * lr * (g * inv_n + wc * np.asarray(w))
@@ -76,7 +76,7 @@ def test_pallas_step_matches_reference_step(hidden, output):
     t = jnp.asarray(rng.standard_normal((16, sizes[-1])), jnp.float32)
 
     st_ref = reference_train_step(init_train_state(params), x, t, cfg, opt)
-    st_pal = pallas_train_step(init_train_state(params), x, t, cfg, opt, interpret=True)
+    st_pal = pallas_train_step(init_train_state(params), x, t, cfg, opt, interpret=True, bf16=False)
     for l in range(len(sizes) - 1):
         np.testing.assert_allclose(np.asarray(st_pal.params["w"][l]),
                                    np.asarray(st_ref.params["w"][l]), rtol=1e-5, atol=1e-6)
@@ -99,7 +99,7 @@ def test_pallas_chunk_padded_canonical_sizes(hidden):
     run_ref = make_jit_train_chunk(cfg, opt)
     st_ref = run_ref(init_train_state(params), x, t, jax.random.key(1))
 
-    run_pal = make_pallas_train_chunk(cfg, opt, interpret=True)
+    run_pal = make_pallas_train_chunk(cfg, opt, interpret=True, bf16=False)
     st_pal = run_pal(init_train_state(params), x, t, jax.random.key(1))
 
     assert int(st_pal.step) == int(st_ref.step) == 3

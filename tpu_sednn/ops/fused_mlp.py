@@ -49,8 +49,21 @@ def _pick_block(dim: int, prefer: int) -> int:
 # forward: y = act(x @ W + b)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, *, act: str):
-    y = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+def _dot(a, b, bf16: bool, transpose: int = 0):
+    """MXU matmul with f32 accumulation.  bf16=True casts inputs to bfloat16
+    first — the SAME numerics as XLA's DEFAULT f32 matmul precision on TPU,
+    but ~8x faster than Mosaic's true-f32 dot (measured on v5e)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    dims = ((((1,), (1,)), ((), ())) if transpose == 1       # a @ b.T
+            else (((0,), (0,)), ((), ())) if transpose == 2  # a.T @ b
+            else (((1,), (0,)), ((), ())))
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, *, act: str, bf16: bool):
+    y = _dot(x_ref[:], w_ref[:], bf16)
     y = y + b_ref[:]
     if act == "relu":
         y = jnp.maximum(y, 0.0)
@@ -59,10 +72,10 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, *, act: str):
     y_ref[:] = y
 
 
-@functools.partial(jax.jit, static_argnames=("act", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("act", "block_n", "interpret", "bf16"))
 def fused_linear_act(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                      act: str = "linear", block_n: int = 512,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, bf16: bool = True) -> jnp.ndarray:
     """(B, K) @ (K, N) + (N,) -> act -> (B, N).  K, N should be 128-aligned
     (the canonical layers are); unaligned shapes fall back to plain XLA."""
     B, K = x.shape
@@ -75,7 +88,7 @@ def fused_linear_act(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     bn = _pick_block(N, block_n)
     grid = (N // bn,)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, act=act),
+        functools.partial(_fwd_kernel, act=act, bf16=bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -93,7 +106,7 @@ def fused_linear_act(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(scal_ref, dedx_ref, yprev_ref, w_ref, delta_ref, b_ref, db_ref,
-                w_out, delta_out, dedy_out, b_out, db_out):
+                w_out, delta_out, dedy_out, b_out, db_out, *, bf16: bool):
     """Grid (nk, nn), nn fastest.  Block shapes:
     dedx (B, BN), yprev (B, BK), w/delta (BK, BN), dedy (B, BK) accumulated
     over nn; b/db (1, BN) updated once per nn column (at k == 0).
@@ -110,9 +123,7 @@ def _bwd_kernel(scal_ref, dedx_ref, yprev_ref, w_ref, delta_ref, b_ref, db_ref,
     w = w_ref[:]
 
     # dedy accumulation: dedx @ W^T contribution of this N tile
-    part = jax.lax.dot_general(
-        dedx, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (B, BK)
+    part = _dot(dedx, w, bf16, transpose=1)  # (B, BK)
 
     @pl.when(j == 0)
     def _():
@@ -123,9 +134,7 @@ def _bwd_kernel(scal_ref, dedx_ref, yprev_ref, w_ref, delta_ref, b_ref, db_ref,
         dedy_out[:] = dedy_out[:] + part
 
     # weight gradient for this (K, N) tile + momentum update, single pass
-    g = jax.lax.dot_general(
-        yprev_ref[:], dedx, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BK, BN)
+    g = _dot(yprev_ref[:], dedx, bf16, transpose=2)  # (BK, BN)
     new_delta = m * delta_ref[:] - c * (g * inv_n + wc * w)
     delta_out[:] = new_delta
     w_out[:] = w + new_delta
@@ -139,7 +148,7 @@ def _bwd_kernel(scal_ref, dedx_ref, yprev_ref, w_ref, delta_ref, b_ref, db_ref,
         b_out[:] = b_ref[:] + new_db
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret", "bf16"))
 def fused_bwd_update(
     dedx: jnp.ndarray,     # (B, N) upstream gradient dE/dx of this layer
     y_prev: jnp.ndarray,   # (B, K) layer input (post-dropout)
@@ -154,6 +163,7 @@ def fused_bwd_update(
     block_k: int = 512,
     block_n: int = 512,
     interpret: bool = False,
+    bf16: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (w', delta', dedy_prev, b', delta_b') with one read/write of W/delta.
 
@@ -185,7 +195,7 @@ def fused_bwd_update(
         jax.ShapeDtypeStruct((1, N), jnp.float32),  # delta_b'
     )
     w_, d_, dedy, b_, db_ = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, bf16=bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal

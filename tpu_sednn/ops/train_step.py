@@ -29,6 +29,7 @@ def pallas_train_step(
     rng: Optional[jax.Array] = None,
     interpret: bool = False,
     valid_sizes=None,
+    bf16: bool = True,
 ) -> TrainState:
     n_layers = len(state.params["w"])
     n = x.shape[0]
@@ -46,7 +47,7 @@ def pallas_train_step(
         ys.append(h)
         act = (cfg.hidden if l < n_layers - 1 else cfg.output)
         h = fused_linear_act(h, state.params["w"][l], state.params["b"][l],
-                             act=act, interpret=interpret)
+                             act=act, interpret=interpret, bf16=bf16)
         # sigmoid(0) = 0.5 on zero-PADDED hidden units would leak gradients
         # into padded weight rows; zero them so padding stays exact.
         if (
@@ -73,7 +74,7 @@ def pallas_train_step(
             state.params["b"][l], state.deltas["b"][l],
             jnp.float32(opt.momentum), jnp.float32(opt.lrate),
             jnp.float32(1.0 / n), jnp.float32(opt.weightcost),
-            interpret=interpret,
+            interpret=interpret, bf16=bf16,
         )
         new_w[l], new_d[l], new_b[l], new_db[l] = w_, d_, b_, db_
         if l > 0:
@@ -119,7 +120,8 @@ def _unpad_state(state: TrainState, sizes) -> TrainState:
     return TrainState(params={"w": ws, "b": bs}, deltas={"w": dw, "b": db}, step=state.step)
 
 
-def make_pallas_train_chunk(cfg: ModelConfig, opt: OptConfig, interpret: bool = False):
+def make_pallas_train_chunk(cfg: ModelConfig, opt: OptConfig, interpret: bool = False,
+                            bf16: bool = True):
     """lax.scan chunk trainer over the Pallas step (partial bunch dropped).
 
     Non-128-aligned layer sizes (the canonical 1548/129) are zero-padded once
@@ -152,7 +154,8 @@ def make_pallas_train_chunk(cfg: ModelConfig, opt: OptConfig, interpret: bool = 
         def body(st, inp):
             xi, ti, r = inp
             return pallas_train_step(st, xi, ti, pcfg, dyn, rng=r, interpret=interpret,
-                                     valid_sizes=sizes if needs_pad else None), None
+                                     valid_sizes=sizes if needs_pad else None,
+                                     bf16=bf16), None
 
         state, _ = jax.lax.scan(body, state, (xb, tb, rngs))
         if needs_pad:

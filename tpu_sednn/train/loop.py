@@ -88,11 +88,18 @@ def train_epoch_pfile(
 
     run_chunk = make_jit_train_chunk(cfg, opt)
     rng = jax.random.key(seed)
-    for i, ci in enumerate(chunk_order):
-        indata, targ = read_chunk_parity(
+
+    # host chunk prep runs one step ahead of device compute (single worker, so
+    # the parity lrand48 stream is still consumed strictly in chunk order)
+    from tpu_sednn.data.prefetch import Prefetcher
+
+    def read(ci):
+        return read_chunk_parity(
             fea_info, targ_info, plan, int(ci), fea_context, targ_offset,
             mean, inv_std, rand, nat=nat,
         )
+
+    for i, (indata, targ) in enumerate(Prefetcher(chunk_order, read, depth=2)):
         rng, sub = jax.random.split(rng)
         state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub)
         log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
