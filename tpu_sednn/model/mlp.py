@@ -40,6 +40,10 @@ class ModelConfig:
     dropout_vis: float = 0.0  # visible_omit
     dropout_hid: float = 0.0  # hid_omit
     dropout_mode: str = "parity"  # "parity" | "inverted"
+    # matmul precision: "default" = TPU bf16-input/f32-accumulate (fast),
+    # "highest" = true fp32 (for strict numerical parity with the reference's
+    # cuBLAS SGEMM; ~3-8x slower on the MXU)
+    precision: str = "default"
 
     @property
     def num_layers(self) -> int:
@@ -180,7 +184,7 @@ def forward(
                 h = h * mask
                 if cfg.dropout_mode == "inverted":
                     h = h / (1.0 - omit)
-        h = _matmul_bias(h, w, b, compute_dtype)
+        h = _matmul_bias(h, w, b, compute_dtype, cfg.precision)
         if l < n_layers - 1:
             h = _act(cfg.hidden, h)
         else:
@@ -208,19 +212,20 @@ def forward_eval(
         if cfg.use_dropout and cfg.dropout_mode == "parity":
             keep = 1.0 - (cfg.dropout_vis if l == 0 else cfg.dropout_hid)
             w = w * keep
-        h = _matmul_bias(h, w, b, compute_dtype)
+        h = _matmul_bias(h, w, b, compute_dtype, cfg.precision)
         h = _act(cfg.hidden if l < n_layers - 1 else cfg.output, h)
     return h
 
 
-def _matmul_bias(h, w, b, compute_dtype):
+def _matmul_bias(h, w, b, compute_dtype, precision: str = "default"):
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
     if compute_dtype is not None:
         y = jax.lax.dot(
             h.astype(compute_dtype), w.astype(compute_dtype),
-            precision=None, preferred_element_type=jnp.float32,
+            precision=prec, preferred_element_type=jnp.float32,
         )
     else:
-        y = h @ w
+        y = jnp.matmul(h, w, precision=prec)
     return y + b
 
 

@@ -50,7 +50,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     from tpu_sednn.dsp import StftConfig
     from tpu_sednn.enhance import EnhanceConfig, enhance_waveform
     from tpu_sednn.io import compute_norm, read_wav, save_norm, save_wts, write_wav
-    from tpu_sednn.metrics import lsd, seg_snr, snr, stoi
+    from tpu_sednn.metrics import lsd, pesq, seg_snr, snr, stoi
     from tpu_sednn.model import ModelConfig, init_params, params_to_wts
     from tpu_sednn.ops.stft_pallas import stft_lps_pallas
     from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate, shard_batch
@@ -151,6 +151,8 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
             "segsnr_enh": seg_snr(cl, enh, mc.sample_rate),
             "stoi_noisy": stoi(cl, nz, mc.sample_rate),
             "stoi_enh": stoi(cl, enh, mc.sample_rate),
+            "pesq_noisy": pesq(cl, nz, mc.sample_rate),
+            "pesq_enh": pesq(cl, enh, mc.sample_rate),
         }
         results["eval"][f"synthetic_{snr_db:g}dB"] = m
         log.info(f"[mc] synth {snr_db:g} dB: SNR {m['snr_noisy']:.1f}->{m['snr_enh']:.1f}, "
