@@ -133,3 +133,27 @@ def test_gen_and_extend_net(tmp_path):
     assert m["w1"].shape == (11, 16)  # [W; b]
     np.testing.assert_allclose(m["w1"][:10], ws[0], rtol=1e-6)
     np.testing.assert_allclose(m["w1"][10], bs[0], rtol=1e-6)
+
+
+def test_cli_gpu_used_dp(corpus):
+    """gpu_used>1 routes through the DP mesh path with identical semantics."""
+    from tpu_sednn.cli import run_epoch
+
+    fp, tp, npth, tmp = corpus
+    base = [
+        f"fea_file={fp}", f"targ_file={tp}", f"norm_file={npth}",
+        "train_sent_range=0-7", "cv_sent_range=8-9",
+        f"fea_dim={D}", f"fea_context={CONTEXT}", "targ_offset=1",
+        "traincache=200", "bunchsize=16", "init_randem_seed=7",
+        "momentum=0.5", "lrate=0.3",
+        f"layersizes={','.join(str(s) for s in LAYERS)}",
+    ]
+    cv1 = run_epoch(TrainFlags.from_argv(base + [f"outwts_file={tmp}/a.wts", "gpu_used=1"]))
+    cv4 = run_epoch(TrainFlags.from_argv(base + [f"outwts_file={tmp}/b.wts", "gpu_used=4"]))
+    # same data, same seed: DP must reproduce single-shard results closely
+    # (dropout off; only matmul reduction order differs)
+    assert abs(cv1 - cv4) / cv1 < 1e-3, (cv1, cv4)
+    wa, _ = load_wts(f"{tmp}/a.wts")
+    wb, _ = load_wts(f"{tmp}/b.wts")
+    for a, b in zip(wa, wb):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

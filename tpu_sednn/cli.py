@@ -71,6 +71,7 @@ def run_epoch(flags: TrainFlags, logger: Logger | None = None) -> float:
         nat=True,
         logger=log,
         rand=rand,
+        n_data_shards=flags.gpu_used,
     )
 
     if flags.outwts_file:

@@ -108,3 +108,32 @@ def extend_net_boost(
         ws.append(w)
         bs.append(b)
     return ws, bs
+
+
+def main(argv=None) -> int:
+    """CLI matching Gen_rand_net's positional convention:
+
+        python -m tpu_sednn.tools.netgen numlayers s0 s1 ... out.wts flag beta
+    (Gen_rand_net.cpp:64-81; out_dir argument dropped — it only wrote debug files.)
+    """
+    import sys
+
+    from tpu_sednn.io.wts import save_wts
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 4:
+        print("usage: numlayers layersizes... out.wts flag beta", file=sys.stderr)
+        return 1
+    numlayers = int(argv[0])
+    sizes = [int(v) for v in argv[1 : 1 + numlayers]]
+    out, flag, beta = argv[1 + numlayers], int(argv[2 + numlayers]), float(argv[3 + numlayers])
+    ws, bs = gen_rand_net(sizes, flag=flag, beta=beta)
+    save_wts(out, ws, bs)
+    print(f"wrote {out}: layers {sizes}, flag={flag}, beta={beta}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

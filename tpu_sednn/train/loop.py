@@ -59,6 +59,7 @@ def train_epoch_pfile(
     nat: bool = True,
     logger: Optional[Logger] = None,
     rand: Optional[Rand48] = None,
+    n_data_shards: int = 1,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
@@ -86,7 +87,20 @@ def train_epoch_pfile(
     )
     chunk_order = rand.shuffle_indices(plan.total_chunks)
 
-    run_chunk = make_jit_train_chunk(cfg, opt)
+    # the reference's gpu_used flag maps to data-parallel mesh shards here
+    # (the multi-GPU bunch-split of BP_GPU.cu:29-37, actually enabled)
+    if n_data_shards > 1:
+        from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate
+
+        mesh = make_mesh(n_data=n_data_shards, n_model=1)
+        state = TrainState(
+            params=replicate(state.params, mesh),
+            deltas=replicate(state.deltas, mesh),
+            step=state.step,
+        )
+        run_chunk = make_dp_train_chunk(cfg, opt, mesh)
+    else:
+        run_chunk = make_jit_train_chunk(cfg, opt)
     rng = jax.random.key(seed)
 
     # host chunk prep runs one step ahead of device compute (single worker, so
