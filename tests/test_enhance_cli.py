@@ -1,0 +1,83 @@
+"""Enhance CLI end-to-end + determinism of the parity trainer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_sednn.data.mixing import mix_at_snr, synth_noise, synth_speech
+from tpu_sednn.dsp import StftConfig, stft_logpower
+from tpu_sednn.io import compute_norm, save_norm, write_pfile, write_wav, read_wav
+from tpu_sednn.io.wts import save_wts
+from tpu_sednn.tools import gen_rand_net
+
+
+def test_enhance_cli_runs(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu_sednn.enhance.__main__ import main
+
+    sr = 8000
+    d = StftConfig.for_rate(sr).n_bins
+    context, to = 3, 1
+    sizes = [d * context + d, 64, d]
+    ws, bs = gen_rand_net(sizes, seed=0)
+    wts = str(tmp_path / "m.wts")
+    save_wts(wts, ws, bs)
+
+    rng = np.random.default_rng(0)
+    noisy = mix_at_snr(synth_speech(rng, 2 * sr, sr), synth_noise(rng, 2 * sr, "white"), 5, rng)
+    lps = np.asarray(stft_logpower(jnp.asarray(noisy), StftConfig.for_rate(sr)))
+    mean, istd = compute_norm(lps)
+    norm = str(tmp_path / "f.norm")
+    save_norm(norm, mean, istd)
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, noisy, sr)
+
+    out_dir = str(tmp_path / "out")
+    rc = main([out_dir, wav_in, "--wts", wts, "--norm", norm,
+               "--context", str(context), "--targ-offset", str(to)])
+    assert rc == 0
+    out = os.path.join(out_dir, "in_enh.wav")
+    y, sr2 = read_wav(out)
+    assert sr2 == sr and len(y) == len(noisy) and np.isfinite(y).all()
+
+    # wrong-rate input without --sr must fail with a pointed message
+    wav16 = str(tmp_path / "in16.wav")
+    write_wav(wav16, noisy, 16000)
+    with pytest.raises(SystemExit, match="bins"):
+        main([out_dir, wav16, "--wts", wts, "--norm", norm,
+              "--context", str(context)])
+
+
+def test_parity_trainer_is_deterministic(tmp_path):
+    """Same seed + same files -> byte-identical output weights."""
+    from tpu_sednn.cli import run_epoch
+    from tpu_sednn.config import TrainFlags
+
+    rng = np.random.default_rng(0)
+    utts = [rng.standard_normal((int(rng.integers(20, 50)), 5)).astype(np.float32)
+            for _ in range(8)]
+    targs = [u * 0.5 for u in utts]
+    fp, tp = str(tmp_path / "f.pfile"), str(tmp_path / "t.pfile")
+    write_pfile(fp, utts)
+    write_pfile(tp, targs)
+    mean, istd = compute_norm(np.concatenate(utts))
+    norm = str(tmp_path / "a.norm")
+    save_norm(norm, mean, istd)
+
+    def go(out):
+        flags = TrainFlags.from_argv([
+            f"fea_file={fp}", f"targ_file={tp}", f"norm_file={norm}",
+            f"outwts_file={out}", "train_sent_range=0-5", "cv_sent_range=6-7",
+            "fea_dim=5", "fea_context=3", "targ_offset=1", "traincache=100",
+            "bunchsize=16", "init_randem_seed=99", "momentum=0.5", "lrate=0.2",
+            "dropoutflag=1", "visible_omit=0.1", "hid_omit=0.2",
+            "layersizes=20,32,5",
+        ])
+        return run_epoch(flags)
+
+    cv_a = go(str(tmp_path / "a.wts"))
+    cv_b = go(str(tmp_path / "b.wts"))
+    assert cv_a == cv_b
+    assert (tmp_path / "a.wts").read_bytes() == (tmp_path / "b.wts").read_bytes()

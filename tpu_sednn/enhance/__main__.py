@@ -1,0 +1,96 @@
+"""Enhancement decode as a command — the tool the reference does NOT ship
+(decode is a binary-only download, README.md:39-44; weights are exported to
+Matlab for it).  Here it is first-class:
+
+    python -m tpu_sednn.enhance out_dir in1.wav [in2.wav ...] \
+        --wts mlp.wts --norm fea.norm [--layersizes 1548,2048,2048,2048,129]
+        [--context 11] [--targ-offset 5] [--head lps|irm|ibm] [--sr 8000]
+        [--targ-norm targ.norm] [--mask-floor 0.05] [--no-nat]
+
+Each input produces out_dir/<name>_enh.wav.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("wavs", nargs="+")
+    ap.add_argument("--wts", required=True)
+    ap.add_argument("--norm", required=True)
+    ap.add_argument("--layersizes", default=None,
+                    help="comma-separated; default inferred from the .wts file")
+    ap.add_argument("--context", type=int, default=11)
+    ap.add_argument("--targ-offset", type=int, default=5)
+    ap.add_argument("--head", choices=["lps", "irm", "ibm"], default="lps")
+    ap.add_argument("--sr", type=int, default=None, help="resample inputs to this rate")
+    ap.add_argument("--targ-norm", default=None,
+                    help=".norm for target denormalization (target-normalized models)")
+    ap.add_argument("--mask-floor", type=float, default=0.0)
+    ap.add_argument("--mask-smooth", type=int, default=0)
+    ap.add_argument("--no-nat", action="store_true")
+    ap.add_argument("--hidden", choices=["relu", "sigmoid"], default="relu")
+    args = ap.parse_args(argv)
+
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance import EnhanceConfig, enhance_waveform
+    from tpu_sednn.io import load_norm, read_wav, write_wav
+    from tpu_sednn.io.wts import load_wts
+    from tpu_sednn.model import ModelConfig, params_from_wts
+
+    ws, bs = load_wts(args.wts)
+    sizes = ([int(v) for v in args.layersizes.split(",")] if args.layersizes
+             else [ws[0].shape[0]] + [w.shape[1] for w in ws])
+    params = params_from_wts(ws, bs)
+    d_out = sizes[-1]
+    nat = not args.no_nat
+    fea_dim = sizes[0] // (args.context + (1 if nat else 0))
+    mean, inv_std = load_norm(args.norm, fea_dim)
+    target_norm = None
+    if args.targ_norm:
+        target_norm = load_norm(args.targ_norm, d_out)
+
+    mcfg = ModelConfig(
+        layersizes=tuple(sizes), hidden=args.hidden,
+        output="sigmoid" if args.head in ("irm", "ibm") else "linear",
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path in args.wavs:
+        x, sr = read_wav(path)
+        if args.sr is not None and sr != args.sr:
+            from scipy.signal import resample_poly
+
+            g = np.gcd(sr, args.sr)
+            x = resample_poly(x, args.sr // g, sr // g).astype(np.float32)
+            sr = args.sr
+        cfg_stft = StftConfig.for_rate(sr)
+        if cfg_stft.n_bins != fea_dim:
+            raise SystemExit(
+                f"{path}: {sr} Hz gives {cfg_stft.n_bins} bins but the model "
+                f"expects {fea_dim}; use --sr to resample"
+            )
+        enh_cfg = EnhanceConfig(
+            stft=cfg_stft, fea_context=args.context, targ_offset=args.targ_offset,
+            nat=nat, head=args.head, mask_floor=args.mask_floor,
+            mask_smooth=args.mask_smooth,
+        )
+        y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
+                             target_norm=target_norm)
+        out = os.path.join(
+            args.out_dir,
+            os.path.splitext(os.path.basename(path))[0] + "_enh.wav",
+        )
+        write_wav(out, y, sr)
+        print(f"{path} -> {out} ({len(y) / sr:.1f} s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,10 @@ class ModelConfig:
     # "highest" = true fp32 (for strict numerical parity with the reference's
     # cuBLAS SGEMM; ~3-8x slower on the MXU)
     precision: str = "default"
+    # dropout mask source: "threefry" (jax.random; reproducible across
+    # backends) or "tpu_prng" (Pallas hardware PRNG — threefry mask
+    # generation costs ~30-50% of a training step at large bunch sizes)
+    dropout_rng: str = "threefry"
 
     @property
     def num_layers(self) -> int:
@@ -134,8 +138,13 @@ def init_params_parity(rand: Any, cfg: ModelConfig, w_min: float, w_max: float,
 # forward
 # ---------------------------------------------------------------------------
 
-def _dropout_mask(key: jax.Array, shape, omit: float) -> jnp.ndarray:
+def _dropout_mask(key: jax.Array, shape, omit: float, impl: str = "threefry") -> jnp.ndarray:
     """Reference mask: zero where uniform < omit (kernDropout, DevFunc.cu:34-45)."""
+    if impl == "tpu_prng":
+        from tpu_sednn.ops.dropout_pallas import dropout_mask_pallas
+
+        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)  # one scalar
+        return dropout_mask_pallas(seed, tuple(shape), omit)
     return (jax.random.uniform(key, shape) >= omit).astype(jnp.float32)
 
 
@@ -179,7 +188,7 @@ def forward(
                 mask = (
                     dropout_masks[l]
                     if dropout_masks is not None
-                    else _dropout_mask(keys[l], h.shape, omit)
+                    else _dropout_mask(keys[l], h.shape, omit, cfg.dropout_rng)
                 )
                 h = h * mask
                 if cfg.dropout_mode == "inverted":

@@ -1,0 +1,54 @@
+"""Pallas dropout-mask generation via the TPU hardware PRNG.
+
+jax.random's threefry mask generation costs ~30% of a large-bunch train step
+(measured: 1.549 vs 1.068 ms/step at bunch 1024).  The TPU core PRNG
+(pltpu.prng_random_bits) generates the same-shaped masks at a fraction of the
+cost.  The kernel has only integer inputs, so it is opaque to autodiff — the
+caller multiplies activations by the mask and gradients flow through the
+multiply, exactly like the reference's curand+DevDropout pair
+(/root/reference/BP_GPU.cu:536-551).
+
+Reproducibility: the mask stream is determined by the (seed) scalar; callers
+derive seeds from (step, layer).  Not bit-compatible with jax.random — parity
+tests use explicit masks, so only distribution correctness matters here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mask_kernel(seed_ref, out_ref, *, threshold: int):
+    pltpu.prng_seed(seed_ref[0])
+    bits = pltpu.prng_random_bits(out_ref.shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    out_ref[:] = (bits >= jnp.uint32(threshold)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "omit", "interpret"))
+def dropout_mask_pallas(seed: jnp.ndarray, shape: tuple, omit: float,
+                        interpret: bool = False) -> jnp.ndarray:
+    """0/1 float mask of `shape`; P(zero) = omit.  seed: int32 scalar array.
+
+    Falls back to jax.random (threefry) off-TPU or for unaligned shapes.
+    """
+    B, D = shape
+    if not interpret and jax.default_backend() != "tpu":
+        key = jax.random.fold_in(jax.random.key(0), seed.astype(jnp.uint32))
+        return (jax.random.uniform(key, shape) >= omit).astype(jnp.float32)
+    Dp = (D + 127) // 128 * 128
+    Bp = (B + 7) // 8 * 8
+    threshold = min(int(omit * 4294967296.0), 4294967295)
+    mask = pl.pallas_call(
+        functools.partial(_mask_kernel, threshold=threshold),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Dp), jnp.float32),
+        interpret=interpret,
+    )(seed.reshape(1).astype(jnp.int32))
+    return mask[:B, :D]

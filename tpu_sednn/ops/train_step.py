@@ -43,7 +43,7 @@ def pallas_train_step(
         if use_do:
             omit = cfg.dropout_vis if l == 0 else cfg.dropout_hid
             if omit > 0.0:
-                h = h * _dropout_mask(keys[l], h.shape, omit)
+                h = h * _dropout_mask(keys[l], h.shape, omit, cfg.dropout_rng)
         ys.append(h)
         act = (cfg.hidden if l < n_layers - 1 else cfg.output)
         h = fused_linear_act(h, state.params["w"][l], state.params["b"][l],
@@ -142,12 +142,14 @@ def make_pallas_train_chunk(cfg: ModelConfig, opt: OptConfig, interpret: bool = 
             lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
         bs = opt.bunchsize
         n_bunches = in_chunk.shape[0] // bs
+        if n_bunches == 0:
+            return state
         if needs_pad:
             state = _pad_state(state, sizes, padded)
             in_chunk = jnp.pad(in_chunk, ((0, 0), (0, padded[0] - sizes[0])))
             targ_chunk = jnp.pad(targ_chunk, ((0, 0), (0, padded[-1] - sizes[-1])))
-        xb = in_chunk[: n_bunches * bs].reshape(n_bunches, bs, -1)
-        tb = targ_chunk[: n_bunches * bs].reshape(n_bunches, bs, -1)
+        xb = in_chunk[: n_bunches * bs].reshape(n_bunches, bs, in_chunk.shape[1])
+        tb = targ_chunk[: n_bunches * bs].reshape(n_bunches, bs, targ_chunk.shape[1])
         rngs = jax.random.split(rng, n_bunches)
         dyn = OptConfig(lrate=lrate, momentum=momentum, weightcost=weightcost, bunchsize=bs)
 

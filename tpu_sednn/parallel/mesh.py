@@ -78,12 +78,10 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
     """DP chunk trainer: each device scans its local bunch slices; per-bunch
     gradients are psum'd over the "data" axis before the (replicated) update.
 
-    Parity semantics: the loss inside reference_train_chunk normalizes by the
-    LOCAL row count n_local; psum of those local grads equals the single-chip
-    gradient scaled by n_devices, so we pre-divide lrate by n_devices... no —
-    we keep the math exact instead: the local loss uses sum/n_global, making
-    the psum'd gradient exactly the single-chip one.  Implemented by passing a
-    wrapped step that rescales the local loss.
+    Parity semantics: each device computes its local loss normalized by the
+    GLOBAL bunch size, so the psum of local gradients equals the single-chip
+    gradient exactly (sum grads, one update, identical replicas — the
+    reference's multi-GPU design, BP_GPU.cu:863-884).
     """
     n_dev = mesh.shape["data"]
     if opt.bunchsize % n_dev != 0:
@@ -118,8 +116,8 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
     def chunk_shard(state: TrainState, x_local, t_local, rng, lrate, momentum, weightcost):
         n_local = x_local.shape[0]
         n_bunches = n_local // bs_local
-        xb = x_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, -1)
-        tb = t_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, -1)
+        xb = x_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, x_local.shape[1])
+        tb = t_local[: n_bunches * bs_local].reshape(n_bunches, bs_local, t_local.shape[1])
         rngs = jax.random.split(rng, n_bunches)
 
         def body(st, inp):
@@ -148,11 +146,14 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
         # different bunches than a single chip and break step-for-step parity.
         n = in_chunk.shape[0]
         n_bunches = n // opt.bunchsize
+        if n_bunches == 0:  # chunk smaller than one bunch: all samples dropped
+            return state
 
         def regroup(a):
+            d = a.shape[1]
             a = a[: n_bunches * opt.bunchsize]
-            a = a.reshape(n_bunches, n_dev, bs_local, -1)
-            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_bunches * bs_local, -1)
+            a = a.reshape(n_bunches, n_dev, bs_local, d)
+            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_bunches * bs_local, d)
             return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P("data")))
 
         return sharded(state, regroup(in_chunk), regroup(targ_chunk), rng,

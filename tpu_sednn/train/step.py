@@ -122,8 +122,10 @@ def reference_train_chunk(
     n = in_chunk.shape[0]
     bs = opt.bunchsize
     n_bunches = n // bs
-    xb = in_chunk[: n_bunches * bs].reshape(n_bunches, bs, -1)
-    tb = targ_chunk[: n_bunches * bs].reshape(n_bunches, bs, -1)
+    if n_bunches == 0:  # chunk smaller than one bunch: all samples dropped
+        return state
+    xb = in_chunk[: n_bunches * bs].reshape(n_bunches, bs, in_chunk.shape[1])
+    tb = targ_chunk[: n_bunches * bs].reshape(n_bunches, bs, targ_chunk.shape[1])
     rngs = jax.random.split(rng, n_bunches)
 
     def body(st, inputs):
