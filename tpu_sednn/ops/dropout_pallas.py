@@ -23,8 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_ROW_BLOCK = 512  # rows per grid step; (512, D) mask tiles stay well under VMEM
+
+
 def _mask_kernel(seed_ref, out_ref, *, threshold: int):
-    pltpu.prng_seed(seed_ref[0])
+    # distinct stream per row-block: fold the grid index into the seed
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(out_ref.shape)
     bits = pltpu.bitcast(bits, jnp.uint32)
     out_ref[:] = (bits >= jnp.uint32(threshold)).astype(jnp.float32)
@@ -43,11 +47,15 @@ def dropout_mask_pallas(seed: jnp.ndarray, shape: tuple, omit: float,
         return (jax.random.uniform(key, shape) >= omit).astype(jnp.float32)
     Dp = (D + 127) // 128 * 128
     Bp = (B + 7) // 8 * 8
+    rb = min(_ROW_BLOCK, Bp)
+    n_blocks = (Bp + rb - 1) // rb
+    Bp = n_blocks * rb
     threshold = min(int(omit * 4294967296.0), 4294967295)
     mask = pl.pallas_call(
         functools.partial(_mask_kernel, threshold=threshold),
+        grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rb, Dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Dp), jnp.float32),
         interpret=interpret,
     )(seed.reshape(1).astype(jnp.int32))
