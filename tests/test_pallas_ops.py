@@ -84,12 +84,16 @@ def test_pallas_step_matches_reference_step(hidden, output):
                                    np.asarray(st_ref.deltas["b"][l]), rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("hidden", ["relu", "sigmoid"])
-def test_pallas_chunk_padded_canonical_sizes(hidden):
+@pytest.mark.parametrize("hidden,output", [
+    ("relu", "linear"),
+    ("sigmoid", "linear"),
+    ("relu", "sigmoid"),  # mask head: padded output cols must not leak grads
+])
+def test_pallas_chunk_padded_canonical_sizes(hidden, output):
     """Unaligned canonical-like sizes (e.g. 132 in / 60 out) train identically
     through the zero-padded Pallas chunk path."""
     sizes = (132, 256, 60)  # not 128-aligned on either end
-    cfg = ModelConfig(layersizes=sizes, hidden=hidden)
+    cfg = ModelConfig(layersizes=sizes, hidden=hidden, output=output)
     opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=16)
     params = init_params(jax.random.key(0), cfg, "glorot")
     rng = np.random.default_rng(4)

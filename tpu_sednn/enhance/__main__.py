@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mask-smooth", type=int, default=0)
     ap.add_argument("--no-nat", action="store_true")
     ap.add_argument("--hidden", choices=["relu", "sigmoid"], default="relu")
+    ap.add_argument("--visible-omit", type=float, default=0.0,
+                    help="visible_omit the model was TRAINED with (parity dropout "
+                         "models need keep-prob weight scaling at decode)")
+    ap.add_argument("--hid-omit", type=float, default=0.0,
+                    help="hid_omit the model was trained with")
     args = ap.parse_args(argv)
 
     from tpu_sednn.dsp import StftConfig
@@ -60,6 +65,10 @@ def main(argv=None) -> int:
     mcfg = ModelConfig(
         layersizes=tuple(sizes), hidden=args.hidden,
         output="sigmoid" if args.head in ("irm", "ibm") else "linear",
+        # parity-dropout-trained weights need keep-prob scaling at inference
+        # (cv_bunch_single semantics); forward_eval applies it iff set here
+        dropout_vis=args.visible_omit, dropout_hid=args.hid_omit,
+        dropout_mode="parity",
     )
     os.makedirs(args.out_dir, exist_ok=True)
     for path in args.wavs:

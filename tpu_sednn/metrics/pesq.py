@@ -60,9 +60,9 @@ def _time_align(ref: np.ndarray, deg: np.ndarray) -> np.ndarray:
 
 
 def _frames(x: np.ndarray) -> np.ndarray:
-    n = 1 + (len(x) - _WIN) // _HOP if len(x) >= _WIN else 0
-    idx = np.arange(n)[:, None] * _HOP + np.arange(_WIN)[None, :]
-    return x[idx] * np.hanning(_WIN)
+    from tpu_sednn.metrics.quality import _frames as _qframes
+
+    return _qframes(x, _WIN, _HOP, np.hanning(_WIN))
 
 
 def _bark_matrix() -> np.ndarray:

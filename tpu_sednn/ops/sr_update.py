@@ -21,9 +21,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# seed spacing between layers; callers advance the step seed by small
+# increments, so (layer, block, step) streams stay disjoint in practice
+_LAYER_SEED_STRIDE = 1_000_003
+
 
 def _sr_kernel(seed_ref, scal_ref, w_ref, d_ref, g_ref, w_out, d_out):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # large odd stride per block so no two (layer, block, step) combinations
+    # share a PRNG stream (callers stride layer seeds by _LAYER_SEED_STRIDE)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
     m = scal_ref[0]
     lr = scal_ref[1]
     wc = scal_ref[2]
@@ -109,14 +115,14 @@ def sr_train_step(state, x, t, cfg, opt, rng, seed):
     new_w, new_dw, new_b, new_db = [], [], [], []
     for l, (w, d, g) in enumerate(zip(state.params["w"], state.deltas["w"], grads["w"])):
         w_, d_ = sr_momentum_update(
-            w, d, g, seed + 2 * l, jnp.float32(opt.momentum),
+            w, d, g, seed + _LAYER_SEED_STRIDE * l, jnp.float32(opt.momentum),
             jnp.float32(opt.lrate), jnp.float32(opt.weightcost),
         )
         new_w.append(w_)
         new_dw.append(d_)
     for l, (b, d, g) in enumerate(zip(state.params["b"], state.deltas["b"], grads["b"])):
         b_, d_ = sr_momentum_update(
-            b, d, g, seed + 1000 + 2 * l, jnp.float32(opt.momentum),
+            b, d, g, seed + _LAYER_SEED_STRIDE * (100 + l), jnp.float32(opt.momentum),
             jnp.float32(opt.lrate), jnp.float32(0.0),
         )
         new_b.append(b_)

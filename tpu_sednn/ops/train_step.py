@@ -64,6 +64,12 @@ def pallas_train_step(
     dedx = (2.0 / n) * (out - t)
     if cfg.output == "sigmoid":  # mask-head extension: chain through sigma'
         dedx = dedx * out * (1.0 - out)
+        # sigmoid(0)=0.5 on zero-PADDED output columns gives nonzero dedx
+        # there, which would update padded weight columns and leak into dedy
+        # for real units; zero it so padding stays exact.
+        if valid_sizes is not None and valid_sizes[-1] < out.shape[1]:
+            col_ok = (jnp.arange(out.shape[1]) < valid_sizes[-1]).astype(dedx.dtype)
+            dedx = dedx * col_ok
     new_w, new_d, new_b, new_db = (
         list(state.params["w"]), list(state.deltas["w"]),
         list(state.params["b"]), list(state.deltas["b"]),
@@ -128,14 +134,12 @@ def make_pallas_train_chunk(cfg: ModelConfig, opt: OptConfig, interpret: bool = 
     per chunk call and sliced back after — exact, and amortized over the
     hundreds of bunches in a chunk.
     """
+    import dataclasses
+
     sizes = cfg.layersizes
     padded = tuple(_round_up(s) for s in sizes)
     needs_pad = padded != tuple(sizes)
-    pcfg = ModelConfig(
-        layersizes=padded, hidden=cfg.hidden, output=cfg.output,
-        dropout_vis=cfg.dropout_vis, dropout_hid=cfg.dropout_hid,
-        dropout_mode=cfg.dropout_mode,
-    )
+    pcfg = dataclasses.replace(cfg, layersizes=padded)  # keep ALL other fields
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, rng,

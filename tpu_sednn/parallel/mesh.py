@@ -197,23 +197,25 @@ def make_auto_sharded_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh,
     XLA inserts the all-reduces.  Dropout must be off for this path to keep
     mask shapes unsharded-agnostic (use the shard_map path for dropout runs).
     """
-    dummy_state_sh = None  # resolved lazily at first call
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    cache = {}  # one compiled fn per state structure (jit keys on identity)
 
     def run(state: TrainState, in_chunk, targ_chunk, rng,
             lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
-        st_sh = state_shardings(state, mesh, shard_model_axis)
-        data_sh = NamedSharding(mesh, P("data"))
-        rep = NamedSharding(mesh, P())
-        fn = jax.jit(
-            lambda s, x, t, r, lr, m, wc: reference_train_chunk(
-                s, x, t, cfg,
-                OptConfig(lrate=lr, momentum=m, weightcost=wc, bunchsize=opt.bunchsize),
-                r,
-            ),
-            in_shardings=(st_sh, data_sh, data_sh, rep, rep, rep, rep),
-            out_shardings=st_sh,
-        )
-        return fn(state, in_chunk, targ_chunk, rng,
-                  jnp.float32(lrate), jnp.float32(momentum), jnp.float32(weightcost))
+        key = (len(state.params["w"]),)
+        if key not in cache:
+            st_sh = state_shardings(state, mesh, shard_model_axis)
+            cache[key] = jax.jit(
+                lambda s, x, t, r, lr, m, wc: reference_train_chunk(
+                    s, x, t, cfg,
+                    OptConfig(lrate=lr, momentum=m, weightcost=wc, bunchsize=opt.bunchsize),
+                    r,
+                ),
+                in_shardings=(st_sh, data_sh, data_sh, rep, rep, rep, rep),
+                out_shardings=st_sh,
+            )
+        return cache[key](state, in_chunk, targ_chunk, rng,
+                          jnp.float32(lrate), jnp.float32(momentum), jnp.float32(weightcost))
 
     return run

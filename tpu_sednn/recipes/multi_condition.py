@@ -119,8 +119,12 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     t_train = time.time()
     for epoch in range(mc.n_epochs):
         opt = recipe_opt_schedule(epoch, mc.lrate, mc.bunchsize)
-        key, sub = jax.random.split(key)
-        state = run(state, xj, tj, sub, opt.lrate, opt.momentum, opt.weightcost)
+        key, kperm, sub = jax.random.split(key, 3)
+        # fresh bunch composition per epoch (the reference rebuilds its
+        # lrand48 scatter every epoch); permutation gathers run on device
+        perm = jax.random.permutation(kperm, xj.shape[0])
+        state = run(state, jnp.take(xj, perm, axis=0), jnp.take(tj, perm, axis=0),
+                    sub, opt.lrate, opt.momentum, opt.weightcost)
         cv = float(cv_squared_error(state.params, xcj, tcj, mcfg)) / len(x_cv)
         cv_hist.append(cv)
         log.info(f"[mc] epoch {epoch}: cv_mse={cv:.4f} momentum={opt.momentum}")
