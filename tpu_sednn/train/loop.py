@@ -150,39 +150,44 @@ def train_epochs_arrays(
     traincache: int = 102400,
     logger: Optional[Logger] = None,
     on_epoch: Optional[Callable[[int, TrainState, EpochResult], None]] = None,
+    profile_dir: Optional[str] = None,
 ) -> Tuple[TrainState, List[EpochResult]]:
     """In-memory epoch loop over prebuilt sample matrices (TPU-first path).
 
     opt_schedule(epoch) supplies per-epoch lr/momentum (the Perl recipe's
     momentum ramp 0.5 -> 0.9, finetune_...NAT.pl:36,138,221).
+    profile_dir: capture a jax.profiler trace of the run (TensorBoard format).
     """
+    from tpu_sednn.utils.profiling import trace
+
     log = logger or Logger()
     results: List[EpochResult] = []
     n = x.shape[0]
     key = jax.random.key(seed)
     run_chunk = make_jit_train_chunk(cfg, opt_schedule(0))  # one compile; lr/m dynamic
-    for epoch in range(n_epochs):
-        t0 = time.time()
-        opt = opt_schedule(epoch)
-        key, kperm = jax.random.split(key)
-        perm = np.asarray(jax.random.permutation(kperm, n))
-        for st in range(0, n, traincache):
-            idx = perm[st : st + traincache]
-            key, sub = jax.random.split(key)
-            state = run_chunk(
-                state, jnp.asarray(x[idx]), jnp.asarray(t[idx]), sub,
-                opt.lrate, opt.momentum, opt.weightcost,
+    with trace(profile_dir):
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            opt = opt_schedule(epoch)
+            key, kperm = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(kperm, n))
+            for st in range(0, n, traincache):
+                idx = perm[st : st + traincache]
+                key, sub = jax.random.split(key)
+                state = run_chunk(
+                    state, jnp.asarray(x[idx]), jnp.asarray(t[idx]), sub,
+                    opt.lrate, opt.momentum, opt.weightcost,
+                )
+            cv_mse = float(
+                cv_squared_error(state.params, jnp.asarray(x_cv), jnp.asarray(t_cv), cfg)
+            ) / len(x_cv)
+            dt = time.time() - t0
+            res = EpochResult(epoch, cv_mse, n, dt, n / max(dt, 1e-9))
+            results.append(res)
+            log.info(
+                f"epoch {epoch}: cv_mse={cv_mse:.6f} lr={opt.lrate} m={opt.momentum} "
+                f"({res.samples_per_sec:.0f} samples/s)"
             )
-        cv_mse = float(
-            cv_squared_error(state.params, jnp.asarray(x_cv), jnp.asarray(t_cv), cfg)
-        ) / len(x_cv)
-        dt = time.time() - t0
-        res = EpochResult(epoch, cv_mse, n, dt, n / max(dt, 1e-9))
-        results.append(res)
-        log.info(
-            f"epoch {epoch}: cv_mse={cv_mse:.6f} lr={opt.lrate} m={opt.momentum} "
-            f"({res.samples_per_sec:.0f} samples/s)"
-        )
-        if on_epoch is not None:
-            on_epoch(epoch, state, res)
+            if on_epoch is not None:
+                on_epoch(epoch, state, res)
     return state, results
