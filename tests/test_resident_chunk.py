@@ -1,0 +1,98 @@
+"""VMEM-resident whole-chunk megakernel vs the XLA parity path.
+
+Interpret mode on CPU validates the dropout-free math exactly (the mosaic
+interpreter's PRNG is degenerate, so dropout numerics are validated on real
+TPU by the benchmark drive: 1-bunch rel err ~6e-6 vs XLA parity, v5 lite).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_sednn.model import ModelConfig, init_params
+from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
+from tpu_sednn.train import init_train_state, make_jit_train_chunk
+from tpu_sednn.train.step import OptConfig
+
+
+def _compare(cfg, opt, n_samples, seed=7, rtol=2e-5, atol=2e-6):
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((n_samples, cfg.layersizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((n_samples, cfg.layersizes[-1])), jnp.float32)
+
+    st_ref = make_jit_train_chunk(cfg, opt)(init_train_state(params), x, t,
+                                            jax.random.key(1))
+    st_res = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)(
+        init_train_state(params), x, t, jnp.int32(seed))
+
+    assert int(st_res.step) == int(st_ref.step)
+    for l in range(len(st_ref.params["w"])):
+        np.testing.assert_allclose(np.asarray(st_res.params["w"][l]),
+                                   np.asarray(st_ref.params["w"][l]), rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(st_res.params["b"][l]),
+                                   np.asarray(st_ref.params["b"][l]), rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(st_res.deltas["w"][l]),
+                                   np.asarray(st_ref.deltas["w"][l]), rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(st_res.deltas["b"][l]),
+                                   np.asarray(st_ref.deltas["b"][l]), rtol=rtol, atol=atol)
+    return st_res
+
+
+@pytest.mark.parametrize("hidden,output", [("relu", "linear"), ("sigmoid", "sigmoid")])
+def test_resident_matches_parity_chunk(hidden, output):
+    sizes = (128, 256, 256, 128)
+    cfg = ModelConfig(layersizes=sizes, hidden=hidden, output=output)
+    opt = OptConfig(lrate=0.5, momentum=0.6, weightcost=1e-4, bunchsize=16)
+    _compare(cfg, opt, 48)
+
+
+@pytest.mark.parametrize("hidden,output", [
+    ("relu", "linear"),
+    ("sigmoid", "linear"),
+    ("relu", "sigmoid"),  # mask head: padded output cols must not leak grads
+])
+def test_resident_padded_unaligned_sizes(hidden, output):
+    """Canonical-like unaligned sizes train identically through zero-padding."""
+    sizes = (132, 256, 60)
+    cfg = ModelConfig(layersizes=sizes, hidden=hidden, output=output)
+    opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=16)
+    st = _compare(cfg, opt, 48)
+    for l in range(2):
+        assert st.params["w"][l].shape == (sizes[l], sizes[l + 1])
+
+
+def test_resident_drops_partial_bunch():
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.3, momentum=0.5, weightcost=0.0, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((40, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((40, sizes[-1])), jnp.float32)
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)
+    st40 = run(init_train_state(params), x, t, jnp.int32(1))
+    st32 = run(init_train_state(params), x[:32], t[:32], jnp.int32(1))
+    assert int(st40.step) == int(st32.step) == 2  # trailing 8 samples dropped
+    np.testing.assert_array_equal(np.asarray(st40.params["w"][0]),
+                                  np.asarray(st32.params["w"][0]))
+
+
+def test_resident_dynamic_hyperparams_no_retrace():
+    """lrate/momentum are dynamic args: the momentum ramp must not recompile,
+    and must change the result consistently with the XLA path."""
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((32, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((32, sizes[-1])), jnp.float32)
+    opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=16)
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)
+    ref = make_jit_train_chunk(cfg, opt)
+    for mom in (0.5, 0.9):
+        a = run(init_train_state(params), x, t, jnp.int32(1), momentum=mom)
+        b = ref(init_train_state(params), x, t, jax.random.key(1), momentum=mom)
+        np.testing.assert_allclose(np.asarray(a.params["w"][1]),
+                                   np.asarray(b.params["w"][1]), rtol=2e-5, atol=2e-6)
