@@ -79,6 +79,38 @@ def test_resident_drops_partial_bunch():
                                   np.asarray(st32.params["w"][0]))
 
 
+def test_epoch_driver_resident_engine():
+    """train_epochs_arrays(engine="resident") trains identically to the XLA
+    engine when dropout is off (interpret mode, fp32)."""
+    from tpu_sednn.train.loop import train_epochs_arrays
+
+    sizes = (32, 64, 16)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.1, momentum=0.5, weightcost=0.0, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((96, sizes[0])).astype(np.float32)
+    t = rng.standard_normal((96, sizes[-1])).astype(np.float32)
+
+    st_x, res_x = train_epochs_arrays(
+        init_train_state(params), cfg, lambda e: opt, x, t, x[:32], t[:32],
+        n_epochs=2, seed=3, traincache=48, engine="xla")
+    st_r, res_r = train_epochs_arrays(
+        init_train_state(params), cfg, lambda e: opt, x, t, x[:32], t[:32],
+        n_epochs=2, seed=3, traincache=48, engine="resident",
+        engine_kwargs={"interpret": True, "bf16": False})
+    np.testing.assert_allclose(np.asarray(st_r.params["w"][0]),
+                               np.asarray(st_x.params["w"][0]), rtol=2e-5, atol=2e-6)
+    assert res_r[-1].cv_mse == pytest.approx(res_x[-1].cv_mse, rel=1e-4)
+    # "auto" falls back to XLA on the CPU backend
+    from tpu_sednn.train.loop import make_chunk_runner
+    assert jax.default_backend() == "cpu"
+    run = make_chunk_runner(cfg, opt, "auto")
+    st = run(init_train_state(params), jnp.asarray(x[:32]), jnp.asarray(t[:32]),
+             jax.random.key(0))
+    assert int(st.step) == 2
+
+
 def test_resident_dynamic_hyperparams_no_retrace():
     """lrate/momentum are dynamic args: the momentum ramp must not recompile,
     and must change the result consistently with the XLA path."""

@@ -33,6 +33,38 @@ from tpu_sednn.train.step import (
 from tpu_sednn.utils.logging import Logger
 
 
+def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
+                      **engine_kwargs):
+    """Chunk-trainer factory shared by the epoch drivers.
+
+    engine:
+      * "xla"      — the jitted lax.scan parity chunk (make_jit_train_chunk);
+      * "resident" — the VMEM-resident whole-chunk megakernel
+        (ops/resident_chunk.py; ~1.5x on v5e-class chips, TPU only);
+      * "auto"     — "resident" on a TPU backend, "xla" elsewhere.
+    engine_kwargs are forwarded to the resident factory (interpret/bf16).
+    All runners share the signature
+      run(state, x, t, rng, lrate=…, momentum=…, weightcost=…) -> state.
+    """
+    if engine == "auto":
+        engine = "resident" if jax.default_backend() == "tpu" else "xla"
+    if engine == "resident":
+        from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
+
+        run_res = make_resident_train_chunk(cfg, opt, **engine_kwargs)
+
+        def run(state, x, t, rng, lrate=opt.lrate, momentum=opt.momentum,
+                weightcost=opt.weightcost):
+            # the in-kernel hardware PRNG takes an int32 seed, not a key
+            seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
+            return run_res(state, x, t, seed, lrate, momentum, weightcost)
+
+        return run
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r}")
+    return make_jit_train_chunk(cfg, opt)
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -60,6 +92,7 @@ def train_epoch_pfile(
     logger: Optional[Logger] = None,
     rand: Optional[Rand48] = None,
     n_data_shards: int = 1,
+    engine: str = "xla",
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
@@ -100,7 +133,7 @@ def train_epoch_pfile(
         )
         run_chunk = make_dp_train_chunk(cfg, opt, mesh)
     else:
-        run_chunk = make_jit_train_chunk(cfg, opt)
+        run_chunk = make_chunk_runner(cfg, opt, engine)
     rng = jax.random.key(seed)
 
     # host chunk prep runs one step ahead of device compute (single worker, so
@@ -151,6 +184,8 @@ def train_epochs_arrays(
     logger: Optional[Logger] = None,
     on_epoch: Optional[Callable[[int, TrainState, EpochResult], None]] = None,
     profile_dir: Optional[str] = None,
+    engine: str = "xla",
+    engine_kwargs: Optional[Dict] = None,
 ) -> Tuple[TrainState, List[EpochResult]]:
     """In-memory epoch loop over prebuilt sample matrices (TPU-first path).
 
@@ -164,7 +199,8 @@ def train_epochs_arrays(
     results: List[EpochResult] = []
     n = x.shape[0]
     key = jax.random.key(seed)
-    run_chunk = make_jit_train_chunk(cfg, opt_schedule(0))  # one compile; lr/m dynamic
+    run_chunk = make_chunk_runner(cfg, opt_schedule(0), engine,
+                                  **(engine_kwargs or {}))  # one compile; lr/m dynamic
     with trace(profile_dir):
         for epoch in range(n_epochs):
             t0 = time.time()
