@@ -84,6 +84,15 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
         def step(state, rng):
             seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
             return run_res(state, x, t, seed)
+    elif mode == "clean" and jax.default_backend() == "tpu":
+        # same resident megakernel with the standard (clean) momentum rule
+        from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
+
+        run_res = make_resident_train_chunk(cfg, opt, rule="clean")
+
+        def step(state, rng):
+            seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
+            return run_res(state, x, t, seed)
     elif mode in ("parity", "parity_xla"):
         run = make_jit_train_chunk(cfg, opt)
 

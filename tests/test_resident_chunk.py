@@ -79,6 +79,44 @@ def test_resident_drops_partial_bunch():
                                   np.asarray(st32.params["w"][0]))
 
 
+def test_resident_clean_rule_matches_clean_step():
+    """rule="clean" reproduces clean_train_step's standard momentum update."""
+    from tpu_sednn.train.step import clean_train_step
+
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((32, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((32, sizes[-1])), jnp.float32)
+
+    st_ref = init_train_state(params)
+    for i in range(2):
+        st_ref, _ = clean_train_step(st_ref, x[16 * i:16 * (i + 1)],
+                                     t[16 * i:16 * (i + 1)], cfg, opt,
+                                     compute_dtype=None)
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    rule="clean")
+    st_res = run(init_train_state(params), x, t, jnp.int32(0))
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(st_res.params["w"][l]),
+                                   np.asarray(st_ref.params["w"][l]),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(st_res.deltas["b"][l]),
+                                   np.asarray(st_ref.deltas["b"][l]),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_resident_sr_state_guards():
+    cfg = ModelConfig(layersizes=(128, 128, 128))
+    opt = OptConfig(bunchsize=16)
+    with pytest.raises(ValueError):
+        make_resident_train_chunk(cfg, opt, rule="parity", sr_state=True)
+    with pytest.raises(ValueError):
+        make_resident_train_chunk(cfg, opt, rule="nope")
+
+
 def test_epoch_driver_resident_engine():
     """train_epochs_arrays(engine="resident") trains identically to the XLA
     engine when dropout is off (interpret mode, fp32)."""

@@ -66,7 +66,7 @@ def _mask_threshold(omit: float) -> int:
 def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      n_bunches: int, hidden: str, output: str,
                      dropout: tuple, dropout_mode: str, valid_sizes,
-                     bf16: bool):
+                     bf16: bool, sr_state: bool):
     # ref layout: scal, seed, x, t, w[L], d[L], b[L], db[L] |
     #             w_out[L], d_out[L], b_out[L], db_out[L] |
     #             Ws[L], Ds[L], Bs[L], DBs[L], sem
@@ -90,10 +90,13 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     sem = next(it)
 
     i = pl.program_id(0)
+    # generalized momentum rule: delta' = m*delta - (A*g + B*w), where g is
+    # the gradient of (1/n)*sum((out-t)^2); A/B are precomputed by the caller
+    # (parity: A=(1-m)*lr/n, B=(1-m)*lr*wc — the reference's double-1/n and
+    # (1-m) quirks; clean: A=lr, B=lr*wc)
     m = scal[0]
-    lr = scal[1]
-    wc = scal[2]
-    c = (1.0 - m) * lr
+    A = scal[1]
+    B = scal[2]
     inv_n = jnp.float32(1.0 / bunch)
 
     @pl.when(i == 0)
@@ -141,6 +144,8 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
         # order, BP_GPU.cu:636 runs before DevAccSum :651) and the in-place
         # momentum update; the (rb, N) gradient temporary stays bounded.
         rb = _row_block(sizes[l])
+        if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
+            pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
         dedy_parts = []
         for k in range(sizes[l] // rb):
             r0, r1 = k * rb, (k + 1) * rb
@@ -148,13 +153,24 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             if l > 0:
                 dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
             g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
-            nd = m * Ds[l][r0:r1, :] - c * (g * inv_n + wc * w_blk)
-            Ds[l][r0:r1, :] = nd
-            Ws[l][r0:r1, :] = w_blk + nd
+            w32 = w_blk.astype(jnp.float32)
+            nd = m * Ds[l][r0:r1, :].astype(jnp.float32) - (A * g + B * w32)
+            if sr_state:
+                # bf16 state: unbiased stochastic rounding via the hw PRNG —
+                # nearest-rounding would bias the ~1e-5-scale updates to zero
+                bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
+                Ds[l][r0:r1, :] = pltpu.stochastic_round(
+                    nd, bits, target_dtype=jnp.bfloat16)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
+                Ws[l][r0:r1, :] = pltpu.stochastic_round(
+                    w32 + nd, bits, target_dtype=jnp.bfloat16)
+            else:
+                Ds[l][r0:r1, :] = nd
+                Ws[l][r0:r1, :] = w32 + nd
         dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
 
         gb = jnp.sum(dedx, axis=0, keepdims=True)
-        ndb = m * DBs[l][:] - c * (gb * inv_n)
+        ndb = m * DBs[l][:] - A * gb  # biases stay f32 in both state modes
         DBs[l][:] = ndb
         Bs[l][:] = Bs[l][:] + ndb
 
@@ -174,14 +190,14 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
 
 def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    hidden: str, output: str, dropout, dropout_mode: str,
-                   valid_sizes, bf16: bool, interpret: bool):
+                   valid_sizes, bf16: bool, sr_state: bool, interpret: bool):
     L = len(ws)
     n_bunches = x.shape[0] // bunch
     kern = functools.partial(
         _resident_kernel, L=L, sizes=tuple(sizes), bunch=bunch,
         n_bunches=n_bunches, hidden=hidden, output=output,
         dropout=tuple(dropout), dropout_mode=dropout_mode,
-        valid_sizes=tuple(valid_sizes), bf16=bf16)
+        valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = (
@@ -192,16 +208,10 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
     )
     out_specs = tuple([any_spec] * (4 * L))
     out_shape = tuple(
-        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-        + [jax.ShapeDtypeStruct(d.shape, jnp.float32) for d in ds]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
-        + [jax.ShapeDtypeStruct(db.shape, jnp.float32) for db in dbs]
+        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in ws + ds + bs + dbs
     )
     scratch = (
-        [pltpu.VMEM(w.shape, jnp.float32) for w in ws]
-        + [pltpu.VMEM(d.shape, jnp.float32) for d in ds]
-        + [pltpu.VMEM(b.shape, jnp.float32) for b in bs]
-        + [pltpu.VMEM(db.shape, jnp.float32) for db in dbs]
+        [pltpu.VMEM(a.shape, a.dtype) for a in ws + ds + bs + dbs]
         + [pltpu.SemaphoreType.DMA]
     )
     outs = pl.pallas_call(
@@ -221,7 +231,8 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
 
 
 def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
-                              interpret: bool = False, bf16: bool = True):
+                              interpret: bool = False, bf16: bool = True,
+                              rule: str = "parity", sr_state: bool = False):
     """jit chunk trainer: whole chunk, VMEM-resident state, one pallas_call.
 
     Same contract as train.step.make_jit_train_chunk / make_pallas_train_chunk
@@ -229,16 +240,24 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     takes an int32 `seed` for the in-kernel hardware-PRNG dropout instead of a
     jax PRNG key.  lrate/momentum/weightcost are dynamic (no recompile across
     the recipe's momentum ramp).
-    """
-    import dataclasses
 
+    rule: "parity" = the reference's quirk-exact update (double 1/n, (1-m));
+    "clean" = standard Polyak momentum on the mean-MSE gradient (matches
+    train.step.clean_train_step).  sr_state: weights/momentum are bfloat16
+    (biases stay f32) with hardware-PRNG stochastic rounding — halves the
+    resident state's VMEM footprint and update traffic (clean mode; TPU only).
+    """
     sizes = tuple(cfg.layersizes)
     padded = tuple(_round_up(s) for s in sizes)
     needs_pad = padded != sizes
     bunch = opt.bunchsize
     if bunch % 8:
         raise ValueError(f"bunchsize {bunch} must be a multiple of 8")
-    del dataclasses
+    if rule not in ("parity", "clean"):
+        raise ValueError(f"unknown rule {rule!r}")
+    if sr_state and rule == "parity":
+        raise ValueError("sr_state (bf16 weights) is a clean-mode option; "
+                         "parity is fp32 end-to-end")
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
@@ -252,8 +271,18 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
             targ_chunk = jnp.pad(targ_chunk, ((0, 0), (0, padded[-1] - sizes[-1])))
         x = in_chunk[: n_bunches * bunch]
         t = targ_chunk[: n_bunches * bunch]
-        scal = jnp.stack([jnp.float32(momentum), jnp.float32(lrate),
-                          jnp.float32(weightcost)])
+        m = jnp.float32(momentum)
+        lr = jnp.float32(lrate)
+        wc = jnp.float32(weightcost)
+        if rule == "parity":
+            a_coef = (1.0 - m) * lr * jnp.float32(1.0 / bunch)
+            b_coef = (1.0 - m) * lr * wc
+        else:
+            # clean: the kernel's g carries 2/bunch; clean_train_step's loss
+            # is the mean over ALL B*n_out elements, so scale by 1/n_out too
+            a_coef = lr * jnp.float32(1.0 / sizes[-1])
+            b_coef = lr * wc
+        scal = jnp.stack([m, a_coef, b_coef])
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
@@ -262,7 +291,7 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
             x, t, list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
             scal, seed_arr, sizes=padded, bunch=bunch, hidden=cfg.hidden,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
-            valid_sizes=sizes, bf16=bf16, interpret=interpret)
+            valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
