@@ -142,7 +142,9 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
 
 def main():
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # 10 reps: single relay round-trips jitter by ~±15%; ~0.25 s of timed
+    # device work per mode amortizes it (measured spread drops under 3%)
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     import jax
 

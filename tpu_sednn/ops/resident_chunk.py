@@ -50,13 +50,19 @@ _BUNCH_STRIDE = 7919
 _LAYER_STRIDE = 104729
 
 
-def _row_block(dim: int) -> int:
-    """Row-tile for the in-place weight update: bounds the (RB, N) gradient
-    temporary while keeping sublane-aligned slices."""
-    for cand in (512, 256, 128):
-        if dim % cand == 0:
-            return cand
-    raise ValueError(f"layer size {dim} is not 128-aligned")
+def _row_blocks(dim: int):
+    """Row-tiles (offset, size) for the in-place weight update: greedy large
+    blocks bound the (rb, N) gradient temporary, keep slices sublane-aligned,
+    and minimize the dot count for non-power-of-two dims (1664 -> 512x3+128
+    instead of 13x128)."""
+    if dim % 128:
+        raise ValueError(f"layer size {dim} is not 128-aligned")
+    spans, off = [], 0
+    while off < dim:
+        size = next(c for c in (512, 256, 128) if c <= dim - off)
+        spans.append((off, size))
+        off += size
+    return spans
 
 
 def _mask_threshold(omit: float) -> int:
@@ -143,12 +149,11 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
         # serves BOTH the dedy backprop (with PRE-update values — SgemmTN
         # order, BP_GPU.cu:636 runs before DevAccSum :651) and the in-place
         # momentum update; the (rb, N) gradient temporary stays bounded.
-        rb = _row_block(sizes[l])
         if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
             pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
         dedy_parts = []
-        for k in range(sizes[l] // rb):
-            r0, r1 = k * rb, (k + 1) * rb
+        for r0, rb in _row_blocks(sizes[l]):
+            r1 = r0 + rb
             w_blk = Ws[l][r0:r1, :]
             if l > 0:
                 dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
