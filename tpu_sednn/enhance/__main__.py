@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                     help=".norm for target denormalization (target-normalized models)")
     ap.add_argument("--mask-floor", type=float, default=0.0)
     ap.add_argument("--mask-smooth", type=int, default=0)
+    ap.add_argument("--gv-mode", choices=["off", "global", "per-dim"], default="off",
+                    help="global-variance equalization (TASLP'15 post-processing)")
+    ap.add_argument("--gv-ref", default=None,
+                    help="text file of per-dim clean-LPS global variances "
+                         "(one float per line; produce with enhance.compute_gv)")
     ap.add_argument("--no-nat", action="store_true")
     ap.add_argument("--hidden", choices=["relu", "sigmoid"], default="relu")
     ap.add_argument("--visible-omit", type=float, default=0.0,
@@ -61,6 +66,13 @@ def main(argv=None) -> int:
     target_norm = None
     if args.targ_norm:
         target_norm = load_norm(args.targ_norm, d_out)
+    gv_ref = None
+    if args.gv_mode != "off":
+        if not args.gv_ref:
+            raise SystemExit("--gv-mode requires --gv-ref")
+        gv_ref = np.loadtxt(args.gv_ref, dtype=np.float32).reshape(-1)
+        if gv_ref.shape[0] != d_out:
+            raise SystemExit(f"--gv-ref has {gv_ref.shape[0]} dims, model outputs {d_out}")
 
     mcfg = ModelConfig(
         layersizes=tuple(sizes), hidden=args.hidden,
@@ -88,10 +100,10 @@ def main(argv=None) -> int:
         enh_cfg = EnhanceConfig(
             stft=cfg_stft, fea_context=args.context, targ_offset=args.targ_offset,
             nat=nat, head=args.head, mask_floor=args.mask_floor,
-            mask_smooth=args.mask_smooth,
+            mask_smooth=args.mask_smooth, gv_mode=args.gv_mode,
         )
         y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
-                             target_norm=target_norm)
+                             target_norm=target_norm, gv_ref=gv_ref)
         out = os.path.join(
             args.out_dir,
             os.path.splitext(os.path.basename(path))[0] + "_enh.wav",

@@ -38,6 +38,9 @@ class EnhanceConfig:
     mask_floor: float = 0.0  # mask post-processing (Interspeech'15 style)
     mask_smooth: int = 0  # moving-average width over time, 0/1 = off
     ibm_threshold: float = 0.5
+    # Global-variance equalization (the TASLP'15 post-processing the reference
+    # README cites): "off" | "global" (one scalar alpha) | "per-dim".
+    gv_mode: str = "off"
 
 
 def _splice_jnp(lps: jnp.ndarray, context: int, targ_offset: int) -> jnp.ndarray:
@@ -64,11 +67,14 @@ def enhance_lps(
     mean: jnp.ndarray,
     inv_std: jnp.ndarray,
     target_norm: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    gv_ref: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Noisy LPS (n_frames, d) -> enhanced LPS (n_frames, d).
 
     target_norm=(targ_mean, targ_inv_std) if the model was trained on
     normalized targets; the output is denormalized accordingly.
+    gv_ref: per-dim global variance of clean training LPS (compute_gv) for
+    GV equalization when enh_cfg.gv_mode != "off".
     """
     normed = (noisy_lps - mean) * inv_std
     x = _splice_jnp(normed, enh_cfg.fea_context, enh_cfg.targ_offset)
@@ -80,8 +86,50 @@ def enhance_lps(
         t_mean, t_inv_std = target_norm
         out = out / t_inv_std + t_mean
     if enh_cfg.head == "lps":
+        if enh_cfg.gv_mode != "off":
+            if gv_ref is None:
+                raise ValueError("gv_mode != 'off' requires gv_ref (see compute_gv)")
+            out = equalize_gv(out, gv_ref, enh_cfg.gv_mode)
         return out
     return lps_from_mask(out, noisy_lps, enh_cfg)
+
+
+def compute_gv(lps: jnp.ndarray) -> jnp.ndarray:
+    """Per-dimension global variance of an LPS corpus/utterance (frames, d).
+
+    For the reference-style recipe, run this over (a sample of) the clean
+    training targets once and reuse the vector at decode time.
+    """
+    return jnp.var(lps, axis=0)
+
+
+def equalize_gv(est_lps: jnp.ndarray, gv_ref: jnp.ndarray, mode: str = "global") -> jnp.ndarray:
+    """Global-variance equalization (Xu et al., IEEE/ACM TASLP 2015, the
+    post-processing step of the paper the reference README cites at
+    README.md:61-71; the shipped repo stops at the raw DNN output).
+
+    DNN regression over-smooths: the estimated LPS has lower variance than
+    clean speech, which mutes formant dynamics. Rescale around the utterance
+    mean so the output variance matches the clean-corpus global variance:
+
+        alpha = sqrt(GV_ref / GV_est);  out = alpha * (est - mean) + mean
+
+    mode="global" uses one scalar alpha (the paper's dimension-independent
+    variant, found equally effective and more robust); mode="per-dim" uses a
+    per-frequency alpha vector. alpha is clipped to [1, 2]: equalization only
+    ever restores lost variance, never dampens, and short utterances can't
+    explode quiet bins.
+    """
+    est_mean = jnp.mean(est_lps, axis=0)
+    gv_est = jnp.maximum(jnp.var(est_lps, axis=0), 1e-8)
+    if mode == "per-dim":
+        alpha = jnp.sqrt(gv_ref / gv_est)
+    elif mode == "global":
+        alpha = jnp.sqrt(jnp.mean(gv_ref) / jnp.mean(gv_est))
+    else:
+        raise ValueError(f"unknown gv mode: {mode!r}")
+    alpha = jnp.clip(alpha, 1.0, 2.0)
+    return alpha * (est_lps - est_mean) + est_mean
 
 
 def lps_from_mask(mask: jnp.ndarray, noisy_lps: jnp.ndarray, enh_cfg: EnhanceConfig) -> jnp.ndarray:
@@ -122,6 +170,7 @@ def enhance_waveform(
     mean: np.ndarray,
     inv_std: np.ndarray,
     target_norm: Tuple[np.ndarray, np.ndarray] | None = None,
+    gv_ref: np.ndarray | None = None,
 ) -> np.ndarray:
     """Noisy waveform -> enhanced waveform (noisy-phase overlap-add)."""
     noisy = jnp.asarray(noisy, jnp.float32)
@@ -133,6 +182,7 @@ def enhance_waveform(
     enh_lps = enhance_lps(
         params, model_cfg, enh_cfg, noisy_lps, jnp.asarray(mean), jnp.asarray(inv_std),
         target_norm=tn,
+        gv_ref=None if gv_ref is None else jnp.asarray(gv_ref),
     )
     out = reconstruct_from_lps(enh_lps, re, im, enh_cfg.stft, n_samples=noisy.shape[0])
     return np.asarray(out)
