@@ -39,6 +39,7 @@ class MultiConditionConfig:
     seed: int = 0
     use_dp_mesh: bool = True
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
+    gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
 
 
 def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = None) -> Dict:
@@ -79,6 +80,10 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     t_mean, t_inv_std = (compute_norm(np.concatenate(clean_lps))
                          if mc.target_norm else (None, None))
     save_norm(os.path.join(mc.out_dir, "fea.norm"), mean, inv_std)
+    # clean-corpus global variance for decode-time GV equalization (TASLP'15);
+    # consumable via `python -m tpu_sednn.enhance --gv-ref gv.txt --gv-mode ...`
+    gv_ref = np.concatenate(clean_lps).var(axis=0)
+    np.savetxt(os.path.join(mc.out_dir, "gv.txt"), gv_ref)
 
     x, t = build_training_arrays(
         noisy_lps, clean_lps, mc.fea_context, mc.targ_offset, nat=True,
@@ -97,8 +102,14 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     params = init_params(jax.random.key(mc.seed), mcfg, scheme="glorot")
 
     n_dev = len(jax.devices())
-    use_dp = mc.use_dp_mesh and n_dev > 1 and mc.bunchsize % n_dev == 0
+    use_dp = (mc.use_dp_mesh and n_dev > 1 and mc.bunchsize % n_dev == 0
+              and len(x) >= mc.bunchsize)
     if use_dp:
+        # shard_batch needs len(x) % n_dev == 0; the trainer drops the partial
+        # bunch regardless (BP_GPU.cu:315-318 semantics), so trim to whole
+        # bunches up front — same math, shardable shape
+        n_whole = (len(x) // mc.bunchsize) * mc.bunchsize
+        x, t = x[:n_whole], t[:n_whole]
         mesh = make_mesh(n_data=n_dev, n_model=1)
         state = init_train_state(replicate(params, mesh))
         run = make_dp_train_chunk(mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize), mesh)
@@ -140,15 +151,16 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
 
     # 5. evaluate: held-out synthetic + the reference demo clips
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,
-                            targ_offset=mc.targ_offset, nat=True)
+                            targ_offset=mc.targ_offset, nat=True, gv_mode=mc.gv_mode)
     tn = (t_mean, t_inv_std) if mc.target_norm else None
+    gv_arg = gv_ref if mc.gv_mode != "off" else None
     rng = np.random.default_rng(mc.seed + 99)
     results: Dict = {"cv_hist": cv_hist, "train_samples_per_sec": samples_per_sec,
                      "audio_seconds": audio_seconds, "eval": {}}
     for snr_db in (0.0, 5.0):
         cl = synth_speech(rng, 4 * mc.sample_rate, mc.sample_rate)
         nz = mix_at_snr(cl, synth_noise(rng, 4 * mc.sample_rate, "white"), snr_db, rng)
-        enh = enhance_waveform(state.params, mcfg, enh_cfg, nz, mean, inv_std, target_norm=tn)
+        enh = enhance_waveform(state.params, mcfg, enh_cfg, nz, mean, inv_std, target_norm=tn, gv_ref=gv_arg)
         m = {
             "snr_noisy": snr(cl, nz), "snr_enh": snr(cl, enh),
             "segsnr_noisy": seg_snr(cl, nz, mc.sample_rate),
@@ -169,7 +181,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         if wsr != mc.sample_rate:
             g = np.gcd(wsr, mc.sample_rate)
             w = resample_poly(w, mc.sample_rate // g, wsr // g).astype(np.float32)
-        enh = enhance_waveform(state.params, mcfg, enh_cfg, w, mean, inv_std, target_norm=tn)
+        enh = enhance_waveform(state.params, mcfg, enh_cfg, w, mean, inv_std, target_norm=tn, gv_ref=gv_arg)
         out_wav = os.path.join(mc.out_dir, "test1_enhanced.wav")
         write_wav(out_wav, enh, mc.sample_rate)
         results["eval"]["reference_demo"] = {"wav": out_wav,
