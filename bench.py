@@ -140,6 +140,60 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
     }
 
 
+def bench_decode(seconds: float, reps: int, batch: int = 16) -> dict:
+    """Serving throughput: full wav -> enhanced-wav decode, one jitted program.
+
+    The pipeline the reference ships only as an external binary (README.md:
+    39-44): STFT (windowed-matmul rDFT) -> LPS -> normalize -> splice(11)+NAT
+    -> flagship-net forward (keep-prob-scaled eval weights, cv_bunch_single
+    semantics) -> noisy-phase overlap-add ISTFT.
+
+    A single dispatch costs ~30 ms of relay latency in this environment, so
+    the serving number is measured the way a server would run it: a vmapped
+    batch of `batch` utterances per dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp.stft import (
+        LPS_FLOOR, StftConfig, reconstruct_from_lps, stft_real_imag,
+    )
+    from tpu_sednn.enhance.decode import EnhanceConfig, enhance_lps
+    from tpu_sednn.model import ModelConfig, init_params
+
+    cfg_stft = StftConfig.for_rate(8000)  # 129 bins, 16 ms hop: canonical net
+    mcfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
+                       dropout_mode="parity")  # eval applies keep-prob scaling
+    ecfg = EnhanceConfig(stft=cfg_stft, fea_context=11, targ_offset=5, nat=True)
+    params = init_params(jax.random.key(0), mcfg, scheme="glorot")
+    mean = jnp.zeros((LAYERS[-1],), jnp.float32)
+    istd = jnp.ones((LAYERS[-1],), jnp.float32)
+    n = int(seconds * cfg_stft.sample_rate)
+    wavs = jax.random.normal(jax.random.key(2), (batch, n), jnp.float32)
+
+    def one(params, wav):
+        re, im = stft_real_imag(wav, cfg_stft)
+        lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
+        enh = enhance_lps(params, mcfg, ecfg, lps, mean, istd)
+        return reconstruct_from_lps(enh, re, im, cfg_stft, n_samples=n)
+
+    pipe = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+
+    out = pipe(params, wavs)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pipe(params, wavs)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    audio = reps * batch * seconds
+    return {
+        "audio_s_per_s": audio / dt,
+        "rtf": dt / audio,  # real-time factor, lower is better
+        "batch": batch,
+    }
+
+
 def main():
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     # 10 reps: single relay round-trips jitter by ~±15%; ~0.25 s of timed
@@ -158,9 +212,11 @@ def main():
     parity = bench_mode("parity", n_samples, reps)
     clean = bench_mode("clean", n_samples, reps)
     xla_parity = bench_mode("parity_xla", n_samples, reps)
+    decode = bench_decode(seconds=64.0, reps=reps)
     print(f"# parity (resident megakernel on TPU): {parity}", file=sys.stderr)
     print(f"# clean bf16: {clean}", file=sys.stderr)
     print(f"# parity via plain XLA: {xla_parity}", file=sys.stderr)
+    print(f"# decode (wav->enhanced wav, serving): {decode}", file=sys.stderr)
 
     value = parity["audio_s_per_s"]
     print(json.dumps({
@@ -172,6 +228,7 @@ def main():
         "xla_parity_audio_s_per_s": round(xla_parity["audio_s_per_s"], 1),
         "samples_per_sec": round(parity["samples_per_sec"]),
         "step_ms": round(parity["step_ms"], 3),
+        "decode_audio_s_per_s": round(decode["audio_s_per_s"], 1),
     }))
 
 
