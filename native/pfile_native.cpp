@@ -172,4 +172,20 @@ int64_t sednn_target_scatter(const float* targ, int64_t n_frames, int32_t d_out,
   return seg_base[n_segs];
 }
 
+// Bit-exact glibc lrand48-driven Fisher-Yates (GetRandIndex,
+// Interface.cc:1044-1055): for i in 0..n-2 swap vec[lrand48()%(n-i)] with
+// vec[n-1-i].  `state` is the 48-bit LCG state (pre-step); the advanced state
+// is returned so the Python Rand48 stream stays the source of truth.
+uint64_t sednn_rand48_shuffle(uint64_t state, int64_t* vec, int64_t n) {
+  const uint64_t A = 0x5DEECE66DULL, C = 0xBULL, MASK = (1ULL << 48) - 1;
+  for (int64_t i = 0; i < n - 1; ++i) {
+    state = (A * state + C) & MASK;
+    int64_t idx = (int64_t)(state >> 17) % (n - i);
+    int64_t t = vec[idx];
+    vec[idx] = vec[n - 1 - i];
+    vec[n - 1 - i] = t;
+  }
+  return state;
+}
+
 }  // extern "C"

@@ -62,6 +62,37 @@ def test_dp_matches_single_device():
         )
 
 
+def test_dp_dropout_matches_single_device():
+    """Dropout masks are built for the GLOBAL bunch and sliced per device, so
+    DP training with dropout is device-count-invariant: exact same masks (and
+    trained weights) as gpu_used=1, for any shard count."""
+    cfg = ModelConfig(layersizes=SIZES, dropout_vis=0.1, dropout_hid=0.2)
+    opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, scheme="glorot")
+    x, t = _data(96)
+
+    st1 = init_train_state(params)
+    run1 = make_jit_train_chunk(cfg, opt)
+    st1 = run1(st1, jnp.asarray(x), jnp.asarray(t), jax.random.key(1))
+
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        st2 = init_train_state(replicate(params, mesh))
+        run2 = make_dp_train_chunk(cfg, opt, mesh)
+        st2 = run2(st2, shard_batch(jnp.asarray(x), mesh),
+                   shard_batch(jnp.asarray(t), mesh), jax.random.key(1))
+        assert int(st2.step) == int(st1.step) == 3
+        for l in range(len(SIZES) - 1):
+            np.testing.assert_allclose(
+                np.asarray(st1.params["w"][l]), np.asarray(st2.params["w"][l]),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(st1.deltas["b"][l]), np.asarray(st2.deltas["b"][l]),
+                rtol=1e-5, atol=1e-6,
+            )
+
+
 def test_dp_with_dropout_runs_and_learns():
     cfg = ModelConfig(layersizes=SIZES, dropout_vis=0.1, dropout_hid=0.2)
     opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=64)

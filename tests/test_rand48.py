@@ -37,6 +37,39 @@ def test_shuffle_is_permutation_and_seeded():
     assert not np.array_equal(r.shuffle_indices(1000), p)
 
 
+def test_vectorized_bitexact_large_n():
+    """The blocked jump-ahead generation and the native shuffle must be
+    bit-identical to the scalar LCG definition at sizes crossing the 64k
+    block boundary (canonical init = 11.8M draws, chunk shuffle = 102,400)."""
+    from tpu_sednn.data.rand48 import _A, _C, _MASK
+
+    class Scalar:
+        def __init__(self, seed):
+            self.x = ((seed & 0xFFFFFFFF) << 16) | 0x330E
+
+        def step(self):
+            self.x = (_A * self.x + _C) & _MASK
+            return self.x
+
+    n = 70_001  # crosses the 65536 block boundary, odd remainder
+    r, s = Rand48(42), Scalar(42)
+    got = r.uniform(-0.1, 0.1, n)
+    want = np.array([s.step() / float(1 << 48) for _ in range(n)], np.float64)
+    want = (want * 0.2 - 0.1).astype(np.float32)
+    assert np.array_equal(got, want)
+    assert r.x == s.x  # stream position identical afterwards
+
+    # native Fisher-Yates (n >= 4096 triggers it) vs the scalar definition
+    n2 = 5000
+    perm = r.shuffle_indices(n2)
+    vec = list(range(n2))
+    for i in range(n2 - 1):
+        idx = (s.step() >> 17) % (n2 - i)
+        vec[idx], vec[n2 - 1 - i] = vec[n2 - 1 - i], vec[idx]
+    assert np.array_equal(perm, np.array(vec))
+    assert r.x == s.x
+
+
 def test_uniform_bounds():
     r = Rand48(99)
     v = r.uniform(-0.1, 0.1, 10000)

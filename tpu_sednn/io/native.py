@@ -47,12 +47,28 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sednn_target_scatter.restype = i64
     lib.sednn_target_scatter.argtypes = [f32p, i64, i32, i64p, i64p, i32, i32, i32,
                                          i64p, i64, f32p, i32]
+    if hasattr(lib, "sednn_rand48_shuffle"):
+        lib.sednn_rand48_shuffle.restype = ctypes.c_uint64
+        lib.sednn_rand48_shuffle.argtypes = [ctypes.c_uint64, i64p, i64]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def shuffle_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "sednn_rand48_shuffle")
+
+
+def rand48_shuffle_native(state: int, vec: np.ndarray) -> int:
+    """In-place lrand48 Fisher-Yates on int64 `vec`; returns the advanced
+    48-bit LCG state (bit-exact with Rand48.shuffle_inplace)."""
+    lib = _load()
+    assert lib is not None and vec.dtype == np.int64 and vec.flags.c_contiguous
+    return int(lib.sednn_rand48_shuffle(ctypes.c_uint64(state), _ip(vec), len(vec)))
 
 
 def _fp(a: np.ndarray):

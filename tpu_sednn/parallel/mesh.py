@@ -88,13 +88,37 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
         raise ValueError(f"bunchsize {opt.bunchsize} not divisible by mesh data={n_dev}")
     bs_local = opt.bunchsize // n_dev
 
-    from tpu_sednn.model.mlp import forward
+    from tpu_sednn.model.mlp import _dropout_mask, forward
+
+    n_weight_layers = len(cfg.layersizes) - 1
+
+    def local_masks(rng):
+        """Device-count-invariant dropout masks: generate the GLOBAL bunch's
+        masks with the exact key schedule of the single-chip forward()
+        (split(rng, n_layers), one mask per layer input), then slice this
+        device's rows.  With the bunch_part row regrouping below, DP dropout
+        training is therefore bit-identical to gpu_used=1 — the reference's
+        identical-replica DP contract (BP_GPU.cu:863-884)."""
+        d_idx = jax.lax.axis_index("data")
+        keys = jax.random.split(rng, n_weight_layers)
+        masks = []
+        for l in range(n_weight_layers):
+            omit = cfg.dropout_vis if l == 0 else cfg.dropout_hid
+            if omit > 0.0:
+                full = _dropout_mask(keys[l], (opt.bunchsize, cfg.layersizes[l]),
+                                     omit, cfg.dropout_rng)
+                masks.append(jax.lax.dynamic_slice_in_dim(full, d_idx * bs_local,
+                                                          bs_local, 0))
+            else:
+                masks.append(None)
+        return masks
 
     def local_step(state: TrainState, x, t, rng, lrate, momentum, weightcost):
         n_global = opt.bunchsize
+        masks = local_masks(rng) if cfg.use_dropout else None
 
         def loss_fn(p):
-            out = forward(p, x, cfg, train=True, rng=rng)
+            out = forward(p, x, cfg, train=True, rng=rng, dropout_masks=masks)
             return jnp.sum((out - t) ** 2) / n_global  # global normalization
 
         grads = jax.grad(loss_fn)(state.params)
@@ -122,8 +146,6 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
 
         def body(st, inp):
             x, t, r = inp
-            # fold in the device index so dropout masks differ across shards
-            r = jax.random.fold_in(r, jax.lax.axis_index("data"))
             return local_step(st, x, t, r, lrate, momentum, weightcost), None
 
         state, _ = jax.lax.scan(body, state, (xb, tb, rngs))
