@@ -140,13 +140,13 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
     }
 
 
-def bench_decode(seconds: float, reps: int, batch: int = 16) -> dict:
+def bench_decode(seconds: float, reps: int, batch: int = 64) -> dict:
     """Serving throughput: full wav -> enhanced-wav decode, one jitted program.
 
     The pipeline the reference ships only as an external binary (README.md:
     39-44): STFT (windowed-matmul rDFT) -> LPS -> normalize -> splice(11)+NAT
-    -> flagship-net forward (keep-prob-scaled eval weights, cv_bunch_single
-    semantics) -> noisy-phase overlap-add ISTFT.
+    -> flagship-net forward (keep-prob folded into the weights once) ->
+    noisy-phase overlap-add ISTFT, via enhance.make_serving_decoder.
 
     A single dispatch costs ~30 ms of relay latency in this environment, so
     the serving number is measured the way a server would run it: a vmapped
@@ -155,35 +155,27 @@ def bench_decode(seconds: float, reps: int, batch: int = 16) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tpu_sednn.dsp.stft import (
-        LPS_FLOOR, StftConfig, reconstruct_from_lps, stft_real_imag,
-    )
-    from tpu_sednn.enhance.decode import EnhanceConfig, enhance_lps
+    from tpu_sednn.dsp.stft import StftConfig
+    from tpu_sednn.enhance.decode import EnhanceConfig, make_serving_decoder
     from tpu_sednn.model import ModelConfig, init_params
 
     cfg_stft = StftConfig.for_rate(8000)  # 129 bins, 16 ms hop: canonical net
     mcfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
-                       dropout_mode="parity")  # eval applies keep-prob scaling
+                       dropout_mode="parity")
     ecfg = EnhanceConfig(stft=cfg_stft, fea_context=11, targ_offset=5, nat=True)
     params = init_params(jax.random.key(0), mcfg, scheme="glorot")
-    mean = jnp.zeros((LAYERS[-1],), jnp.float32)
-    istd = jnp.ones((LAYERS[-1],), jnp.float32)
+    mean = np.zeros((LAYERS[-1],), np.float32)
+    istd = np.ones((LAYERS[-1],), np.float32)
     n = int(seconds * cfg_stft.sample_rate)
     wavs = jax.random.normal(jax.random.key(2), (batch, n), jnp.float32)
 
-    def one(params, wav):
-        re, im = stft_real_imag(wav, cfg_stft)
-        lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
-        enh = enhance_lps(params, mcfg, ecfg, lps, mean, istd)
-        return reconstruct_from_lps(enh, re, im, cfg_stft, n_samples=n)
+    decode = make_serving_decoder(params, mcfg, ecfg, mean, istd)
 
-    pipe = jax.jit(jax.vmap(one, in_axes=(None, 0)))
-
-    out = pipe(params, wavs)
+    out = decode(wavs)
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = pipe(params, wavs)
+        out = decode(wavs)
     _sync(out)
     dt = time.perf_counter() - t0
     audio = reps * batch * seconds

@@ -81,3 +81,37 @@ def test_parity_trainer_is_deterministic(tmp_path):
     cv_b = go(str(tmp_path / "b.wts"))
     assert cv_a == cv_b
     assert (tmp_path / "a.wts").read_bytes() == (tmp_path / "b.wts").read_bytes()
+
+
+def test_serving_decoder_matches_enhance_waveform(tmp_path):
+    """make_serving_decoder (keep-prob folded once, batched) must reproduce
+    the per-utterance enhance_waveform path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance.decode import (
+        EnhanceConfig, enhance_waveform, make_serving_decoder,
+    )
+    from tpu_sednn.model import ModelConfig, init_params
+
+    sr = 8000
+    stft = StftConfig.for_rate(sr)
+    d = stft.n_bins
+    context, to = 3, 1
+    mcfg = ModelConfig(layersizes=(d * context + d, 32, d),
+                       dropout_vis=0.1, dropout_hid=0.2, dropout_mode="parity")
+    ecfg = EnhanceConfig(stft=stft, fea_context=context, targ_offset=to, nat=True)
+    params = init_params(jax.random.key(0), mcfg, scheme="glorot")
+
+    rng = np.random.default_rng(1)
+    mean = rng.standard_normal(d).astype(np.float32)
+    istd = (0.5 + rng.random(d)).astype(np.float32)
+    wavs = rng.standard_normal((3, sr)).astype(np.float32) * 0.1
+
+    decode = make_serving_decoder(params, mcfg, ecfg, mean, istd)
+    batch_out = np.asarray(decode(wavs))
+    assert batch_out.shape == wavs.shape
+    for i in range(len(wavs)):
+        single = enhance_waveform(params, mcfg, ecfg, wavs[i], mean, istd)
+        np.testing.assert_allclose(batch_out[i], single, rtol=1e-5, atol=1e-6)

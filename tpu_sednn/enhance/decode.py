@@ -24,7 +24,7 @@ from tpu_sednn.dsp.stft import (
     reconstruct_from_lps,
     stft_real_imag,
 )
-from tpu_sednn.model.mlp import ModelConfig, Params, forward_eval
+from tpu_sednn.model.mlp import ModelConfig, Params, fold_eval_params, forward_eval
 
 
 @dataclass(frozen=True)
@@ -55,8 +55,9 @@ def _splice_jnp(lps: jnp.ndarray, context: int, targ_offset: int) -> jnp.ndarray
         [jnp.repeat(lps[:1], pad_l, axis=0), lps, jnp.repeat(lps[-1:], pad_r, axis=0)]
     )
     n = lps.shape[0]
-    idx = jnp.arange(n)[:, None] + jnp.arange(context)[None, :]
-    return padded[idx].reshape(n, context * lps.shape[1])
+    # context static slices + concat instead of an (n, context) gather — the
+    # gather was a measurable slice of serving decode time on TPU
+    return jnp.concatenate([padded[j : j + n] for j in range(context)], axis=1)
 
 
 def enhance_lps(
@@ -160,6 +161,49 @@ def postprocess_mask(mask: jnp.ndarray, enh_cfg: EnhanceConfig) -> jnp.ndarray:
             lambda col: jnp.convolve(col, kern, mode="valid"), in_axes=1, out_axes=1
         )(padded)
     return mask
+
+
+def make_serving_decoder(
+    params: Params,
+    model_cfg: ModelConfig,
+    enh_cfg: EnhanceConfig,
+    mean: np.ndarray,
+    inv_std: np.ndarray,
+    target_norm: Tuple[np.ndarray, np.ndarray] | None = None,
+    gv_ref: np.ndarray | None = None,
+):
+    """Build a batched wav->wav enhancement closure for serving.
+
+    Serving-path optimizations over per-call enhance_waveform:
+    * parity keep-prob scaling folded into the weights ONCE
+      (fold_eval_params) instead of per forward;
+    * normalization / GV constants put on device once;
+    * one jitted vmapped program per utterance length (equal-length batches —
+      a server pads/buckets utterances to a few lengths).
+
+    Returns decode(wavs: (batch, n_samples)) -> (batch, n_samples) enhanced.
+    """
+    folded, eval_cfg = fold_eval_params(params, model_cfg)
+    folded = jax.device_put(folded)
+    mean_d, istd_d = jnp.asarray(mean), jnp.asarray(inv_std)
+    tn = None
+    if target_norm is not None:
+        tn = (jnp.asarray(target_norm[0]), jnp.asarray(target_norm[1]))
+    gv = None if gv_ref is None else jnp.asarray(gv_ref)
+
+    def one(p, wav):
+        re, im = stft_real_imag(wav, enh_cfg.stft)
+        noisy_lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
+        enh = enhance_lps(p, eval_cfg, enh_cfg, noisy_lps, mean_d, istd_d,
+                          target_norm=tn, gv_ref=gv)
+        return reconstruct_from_lps(enh, re, im, enh_cfg.stft, n_samples=wav.shape[0])
+
+    pipe = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+
+    def decode(wavs) -> jnp.ndarray:
+        return pipe(folded, jnp.asarray(wavs, jnp.float32))
+
+    return decode
 
 
 def enhance_waveform(

@@ -238,6 +238,24 @@ def _matmul_bias(h, w, b, compute_dtype, precision: str = "default"):
     return y + b
 
 
+def fold_eval_params(params: Params, cfg: ModelConfig) -> Tuple[Params, ModelConfig]:
+    """Pre-fold the parity-mode inference compensation into the weights ONCE.
+
+    cv_bunch_single scales every layer's weights by its input keep-prob around
+    each GEMM (BP_GPU.cu:726-746); forward_eval reproduces that per call,
+    which re-reads and re-writes all ~50 MB of weights per dispatch.  For
+    serving, fold the scaling in once and run a dropout-free config instead —
+    numerically identical output, zero per-call overhead.
+    """
+    if cfg.use_dropout and cfg.dropout_mode == "parity":
+        ws = tuple(
+            w * (1.0 - (cfg.dropout_vis if l == 0 else cfg.dropout_hid))
+            for l, w in enumerate(params["w"])
+        )
+        params = {"w": ws, "b": params["b"]}
+    return params, replace(cfg, dropout_vis=0.0, dropout_hid=0.0)
+
+
 # ---------------------------------------------------------------------------
 # wts interop
 # ---------------------------------------------------------------------------
