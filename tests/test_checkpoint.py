@@ -79,3 +79,47 @@ def test_restore_or_init(tmp_path):
     save_checkpoint(d, 3, st, extra={"epoch": 3})
     st2, extra2, step2 = restore_or_init(d, lambda: init_params(jax.random.key(1), cfg, "glorot"))
     assert step2 == 3 and extra2["epoch"] == 3
+
+
+def test_kill_and_resume_identical_final_state(tmp_path):
+    """Crash recovery: train N epochs straight vs train, "die" mid-run, and
+    resume from the periodic checkpoint — final states must match exactly
+    (dropout off; the epoch key stream is fold_in(seed, epoch) so a resumed
+    run replays the identical shuffles/keys)."""
+    import jax
+    import numpy as np
+
+    from tpu_sednn.model import ModelConfig, init_params
+    from tpu_sednn.train import init_train_state
+    from tpu_sednn.train.loop import train_epochs_arrays
+    from tpu_sednn.train.step import OptConfig
+
+    sizes = (24, 32, 8)
+    cfg = ModelConfig(layersizes=sizes)
+    sched = lambda e: OptConfig(lrate=0.3, momentum=0.5, bunchsize=16)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((160, sizes[0])).astype(np.float32)
+    t = rng.standard_normal((160, sizes[-1])).astype(np.float32)
+    xc, tc = x[:32], t[:32]
+    params = init_params(jax.random.key(3), cfg, scheme="glorot")
+
+    # uninterrupted run, no checkpointing
+    st_full, res_full = train_epochs_arrays(
+        init_train_state(params), cfg, sched, x, t, xc, tc,
+        n_epochs=4, seed=11, traincache=64)
+
+    # interrupted run: 2 epochs with checkpointing, then a fresh call
+    # (simulating a new process after a crash) resumes and finishes
+    ck = str(tmp_path / "ck")
+    train_epochs_arrays(init_train_state(params), cfg, sched, x, t, xc, tc,
+                        n_epochs=2, seed=11, traincache=64, ckpt_dir=ck)
+    st_res, res_res = train_epochs_arrays(
+        init_train_state(params), cfg, sched, x, t, xc, tc,
+        n_epochs=4, seed=11, traincache=64, ckpt_dir=ck)
+
+    assert len(res_res) == 4
+    assert res_res[-1].cv_mse == res_full[-1].cv_mse
+    for a, b in zip(jax.tree.leaves(st_full.params), jax.tree.leaves(st_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st_full.deltas), jax.tree.leaves(st_res.deltas)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -166,3 +166,47 @@ def test_resident_dynamic_hyperparams_no_retrace():
         b = ref(init_train_state(params), x, t, jax.random.key(1), momentum=mom)
         np.testing.assert_allclose(np.asarray(a.params["w"][1]),
                                    np.asarray(b.params["w"][1]), rtol=2e-5, atol=2e-6)
+
+
+def test_dp_resident_matches_single_chip():
+    """The DP resident megakernel (replicated VMEM state, bunch_part row
+    slices, in-kernel recursive-doubling gradient all-reduce over remote
+    DMAs) must reproduce the single-chip resident result (dropout off)."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 256, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.5, momentum=0.6, weightcost=1e-4, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((96, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((96, sizes[-1])), jnp.float32)
+
+    st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)(
+        init_train_state(params), x, t, jnp.int32(7))
+
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        st0 = init_train_state(replicate(params, mesh))
+        run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                           bf16=False)
+        st2 = run(st0, x, t, jnp.int32(7))
+        assert int(st2.step) == int(st1.step) == 3
+        for l in range(len(sizes) - 1):
+            np.testing.assert_allclose(np.asarray(st2.params["w"][l]),
+                                       np.asarray(st1.params["w"][l]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(st2.deltas["b"][l]),
+                                       np.asarray(st1.deltas["b"][l]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_dp_resident_validates_mesh():
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh
+
+    cfg = ModelConfig(layersizes=(128, 128))
+    mesh = make_mesh(n_data=3, n_model=1)
+    with pytest.raises(ValueError, match="power of two"):
+        make_dp_resident_train_chunk(cfg, OptConfig(bunchsize=48), mesh)

@@ -72,6 +72,7 @@ def run_epoch(flags: TrainFlags, logger: Logger | None = None) -> float:
         logger=log,
         rand=rand,
         n_data_shards=flags.gpu_used,
+        cv_dump_path=flags.cv_out_file or None,
     )
 
     if flags.outwts_file:

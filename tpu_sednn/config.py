@@ -40,6 +40,10 @@ class TrainFlags:
     init_randem_bias_min: float = 0.0
     init_randem_bias_max: float = 0.0
     layersizes: Tuple[int, ...] = (1548, 2048, 2048, 2048, 129)
+    # extension beyond the reference's 24 flags: opt-in CV output dump (the
+    # reference hardcodes an always-created-but-empty CV_out.txt,
+    # BP_GPU.cu:443-473); "" = off
+    cv_out_file: str = ""
 
     @classmethod
     def from_argv(cls, argv: Sequence[str]) -> "TrainFlags":

@@ -45,9 +45,10 @@ from tpu_sednn.ops.fused_mlp import _dot
 from tpu_sednn.ops.train_step import _pad_state, _round_up, _unpad_state
 from tpu_sednn.train.step import OptConfig, TrainState
 
-# seed strides: distinct PRNG streams per (bunch, layer) mask
+# seed strides: distinct PRNG streams per (bunch, layer[, device]) mask
 _BUNCH_STRIDE = 7919
 _LAYER_STRIDE = 104729
+_DEVICE_STRIDE = 15485863
 
 
 def _row_blocks(dim: int):
@@ -72,10 +73,13 @@ def _mask_threshold(omit: float) -> int:
 def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      n_bunches: int, hidden: str, output: str,
                      dropout: tuple, dropout_mode: str, valid_sizes,
-                     bf16: bool, sr_state: bool):
+                     bf16: bool, sr_state: bool,
+                     axis_name: str | None = None, n_dev: int = 1,
+                     grad_n: int | None = None):
     # ref layout: scal, seed, x, t, w[L], d[L], b[L], db[L] |
     #             w_out[L], d_out[L], b_out[L], db_out[L] |
     #             Ws[L], Ds[L], Bs[L], DBs[L], sem
+    #             [+ DP: comm, ready_sems, send_sem, recv_sem]
     it = iter(refs)
     scal = next(it)
     seed = next(it)
@@ -94,6 +98,52 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     Bs = [next(it) for _ in range(L)]
     DBs = [next(it) for _ in range(L)]
     sem = next(it)
+    if n_dev > 1:
+        comm = next(it)
+        ready = next(it)
+        send_sem = next(it)
+        recv_sem = next(it)
+        n_steps = n_dev.bit_length() - 1  # n_dev is a power of two
+        my_id = jax.lax.axis_index(axis_name)
+
+    def _allreduce(val):
+        """Sum `val` (rb, n) over the "data" axis — identically on every
+        device — via recursive doubling over in-kernel remote DMAs.
+
+        Correctness-by-construction:
+        * bitwise-replicated result: at step k both partners hold their
+          2^k-group sums A and B and both compute A + B; IEEE addition is
+          commutative, so all devices end with the same bits — the
+          replicated-state invariant the in-place update needs.
+        * flow control: one REGULAR token semaphore per butterfly step.
+          Each side signals the partner's ready[k] then waits its own, so a
+          device's incoming DMA for (block j, step k) can only start after
+          it consumed its (block j-1, step k) buffer — queues never exceed
+          depth 2, no slot is overwritten while in flight.
+        """
+        if n_dev == 1:
+            return val
+        rb, n = val.shape
+        comm[0, pl.ds(0, rb), pl.ds(0, n)] = val
+        for k in range(n_steps):
+            partner = jax.lax.bitwise_xor(my_id, 1 << k)
+            pltpu.semaphore_signal(
+                ready.at[k], inc=1, device_id=partner,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(ready.at[k], 1)
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm.at[0, pl.ds(0, rb), pl.ds(0, n)],
+                dst_ref=comm.at[1, pl.ds(0, rb), pl.ds(0, n)],
+                send_sem=send_sem, recv_sem=recv_sem,
+                device_id=partner,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            rdma.start()
+            rdma.wait()
+            val = (comm[0, pl.ds(0, rb), pl.ds(0, n)]
+                   + comm[1, pl.ds(0, rb), pl.ds(0, n)])
+            if k < n_steps - 1:
+                comm[0, pl.ds(0, rb), pl.ds(0, n)] = val
+        return val
 
     i = pl.program_id(0)
     # generalized momentum rule: delta' = m*delta - (A*g + B*w), where g is
@@ -103,7 +153,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     m = scal[0]
     A = scal[1]
     B = scal[2]
-    inv_n = jnp.float32(1.0 / bunch)
+    inv_n = jnp.float32(1.0 / (grad_n if grad_n is not None else bunch))
 
     @pl.when(i == 0)
     def _load_state():
@@ -118,7 +168,11 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     for l in range(L):
         omit = dropout[0] if l == 0 else dropout[1]
         if omit > 0.0:
-            pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE)
+            # DP: distinct stream per device slice (device-count-VARIANT,
+            # unlike the XLA DP path's sliced global masks — documented)
+            dev_off = my_id * _DEVICE_STRIDE if n_dev > 1 else 0
+            pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE
+                            + dev_off)
             bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
             mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
             h = h * mask
@@ -158,6 +212,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             if l > 0:
                 dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
             g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
+            g = _allreduce(g)  # DP: sum local-slice gradients over devices
             w32 = w_blk.astype(jnp.float32)
             nd = m * Ds[l][r0:r1, :].astype(jnp.float32) - (A * g + B * w32)
             if sr_state:
@@ -175,6 +230,8 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
         dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
 
         gb = jnp.sum(dedx, axis=0, keepdims=True)
+        if n_dev > 1:  # pad to a sublane-aligned (8, N) block for the DMA
+            gb = _allreduce(jnp.pad(gb, ((0, 7), (0, 0))))[0:1, :]
         ndb = m * DBs[l][:] - A * gb  # biases stay f32 in both state modes
         DBs[l][:] = ndb
         Bs[l][:] = Bs[l][:] + ndb
@@ -195,14 +252,17 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
 
 def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    hidden: str, output: str, dropout, dropout_mode: str,
-                   valid_sizes, bf16: bool, sr_state: bool, interpret: bool):
+                   valid_sizes, bf16: bool, sr_state: bool, interpret: bool,
+                   axis_name: str | None = None, n_dev: int = 1,
+                   grad_n: int | None = None):
     L = len(ws)
     n_bunches = x.shape[0] // bunch
     kern = functools.partial(
         _resident_kernel, L=L, sizes=tuple(sizes), bunch=bunch,
         n_bunches=n_bunches, hidden=hidden, output=output,
         dropout=tuple(dropout), dropout_mode=dropout_mode,
-        valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state)
+        valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state,
+        axis_name=axis_name, n_dev=n_dev, grad_n=grad_n)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = (
@@ -219,6 +279,26 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         [pltpu.VMEM(a.shape, a.dtype) for a in ws + ds + bs + dbs]
         + [pltpu.SemaphoreType.DMA]
     )
+    if n_dev > 1:
+        rb_max = max(max(rb for _, rb in _row_blocks(s)) for s in sizes[:-1])
+        n_max = max(sizes[1:])
+        n_steps = n_dev.bit_length() - 1
+        scratch += [
+            pltpu.VMEM((2, rb_max, n_max), jnp.float32),  # comm slots
+            pltpu.SemaphoreType.REGULAR((n_steps,)),      # per-step tokens
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    if interpret and n_dev > 1:
+        interpret_param = pltpu.InterpretParams()
+    else:
+        interpret_param = interpret
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=128 * 1024 * 1024,
+        collective_id=0 if n_dev > 1 else None,
+        has_side_effects=n_dev > 1,
+    )
     outs = pl.pallas_call(
         kern,
         grid=(n_bunches,),
@@ -226,13 +306,31 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=128 * 1024 * 1024,
-        ),
-        interpret=interpret,
+        compiler_params=compiler_params,
+        interpret=interpret_param,
     )(scal, seed, x, t, *ws, *ds, *bs, *dbs)
     return outs[:L], outs[L:2 * L], outs[2 * L:3 * L], outs[3 * L:]
+
+
+def _scal_coefs(rule: str, grad_n: int, out_dim: int, lrate, momentum, weightcost):
+    """[m, A, B] for the generalized update delta' = m*delta - (A*g + B*w),
+    where g is the kernel's gradient of (1/grad_n)*sum((out-t)^2).
+
+    parity: A = (1-m)*lr/grad_n, B = (1-m)*lr*wc — the reference's double-1/n
+    and (1-m) quirks (DevFunc.cu:313-318).
+    clean: the kernel's g carries 2/grad_n; clean_train_step's loss is the
+    mean over ALL B*n_out elements, so scale by 1/out_dim too.
+    """
+    m = jnp.float32(momentum)
+    lr = jnp.float32(lrate)
+    wc = jnp.float32(weightcost)
+    if rule == "parity":
+        a_coef = (1.0 - m) * lr * jnp.float32(1.0 / grad_n)
+        b_coef = (1.0 - m) * lr * wc
+    else:
+        a_coef = lr * jnp.float32(1.0 / out_dim)
+        b_coef = lr * wc
+    return jnp.stack([m, a_coef, b_coef])
 
 
 def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
@@ -276,18 +374,7 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
             targ_chunk = jnp.pad(targ_chunk, ((0, 0), (0, padded[-1] - sizes[-1])))
         x = in_chunk[: n_bunches * bunch]
         t = targ_chunk[: n_bunches * bunch]
-        m = jnp.float32(momentum)
-        lr = jnp.float32(lrate)
-        wc = jnp.float32(weightcost)
-        if rule == "parity":
-            a_coef = (1.0 - m) * lr * jnp.float32(1.0 / bunch)
-            b_coef = (1.0 - m) * lr * wc
-        else:
-            # clean: the kernel's g carries 2/bunch; clean_train_step's loss
-            # is the mean over ALL B*n_out elements, so scale by 1/n_out too
-            a_coef = lr * jnp.float32(1.0 / sizes[-1])
-            b_coef = lr * wc
-        scal = jnp.stack([m, a_coef, b_coef])
+        scal = _scal_coefs(rule, bunch, sizes[-1], lrate, momentum, weightcost)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
@@ -300,6 +387,113 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
+            step=state.step + n_bunches,
+        )
+        if needs_pad:
+            new = _unpad_state(new, sizes)
+        return new
+
+    return run
+
+
+def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
+                                 interpret: bool = False, bf16: bool = True,
+                                 rule: str = "parity"):
+    """Data-parallel VMEM-resident chunk trainer: the headline megakernel
+    scaled over a 1-D ("data",) mesh WITHOUT giving up residency.
+
+    Design (the reference's DP semantics x the resident engine):
+    * every device pins a full replica of weights+momentum in VMEM for the
+      whole chunk (grid over bunches, state DMA in/out at the chunk edges);
+    * each global bunch of opt.bunchsize rows is split bunch_part-style
+      across devices (BP_GPU.cu:29-37): device d takes rows
+      [d*bs_local, (d+1)*bs_local) of every bunch;
+    * per row-block gradients are summed across devices INSIDE the kernel by
+      a recursive-doubling butterfly over async remote DMAs (log2(n) steps,
+      bitwise-identical sums on every device, per-step token semaphores for
+      flow control), then the update is applied in place on every replica —
+      replicas never diverge;
+    * communication per bunch is one full model-gradient all-reduce riding
+      ICI and it gates the next bunch's forward (true SGD dependency), so at
+      the reference's global bunch of 128 this path is ICI-bound BY THE
+      REFERENCE'S OWN DESIGN (sum grads every 128 samples; the reference
+      shipped it disabled, BP_GPU.cu:312-313).  It exists for semantics-exact
+      DP; for throughput scaling grow the global bunch (clean mode), which
+      amortizes the butterfly linearly.
+
+    Exactness: with dropout off this matches the single-chip resident kernel
+    to fp reduction order (tested in interpret mode on the 8-device CPU
+    mesh).  With dropout on, each device draws its own hw-PRNG mask stream
+    (device-count-VARIANT, unlike the XLA DP path's sliced global masks).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sizes = tuple(cfg.layersizes)
+    padded = tuple(_round_up(s) for s in sizes)
+    needs_pad = padded != sizes
+    bunch = opt.bunchsize
+    n_dev = mesh.shape["data"]
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"data mesh size {n_dev} must be a power of two")
+    if bunch % n_dev:
+        raise ValueError(f"bunchsize {bunch} not divisible by mesh data={n_dev}")
+    bs_local = bunch // n_dev
+    if bs_local % 8:
+        raise ValueError(f"local bunch {bs_local} must be a multiple of 8")
+    if rule not in ("parity", "clean"):
+        raise ValueError(f"unknown rule {rule!r}")
+
+    def shard_fn(ws, ds, bs2, dbs2, x_local, t_local, scal, seed_arr):
+        return _resident_call(
+            x_local, t_local, list(ws), list(ds), list(bs2), list(dbs2),
+            scal, seed_arr, sizes=padded, bunch=bs_local, hidden=cfg.hidden,
+            output=cfg.output,
+            dropout=(cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0),
+            dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
+            sr_state=False, interpret=interpret,
+            axis_name="data", n_dev=n_dev, grad_n=bunch)
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("data"), P("data"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: TrainState, in_chunk, targ_chunk, seed,
+            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
+        n_bunches = in_chunk.shape[0] // bunch
+        if n_bunches == 0:
+            return state
+        if needs_pad:
+            state = _pad_state(state, sizes, padded)
+            in_chunk = jnp.pad(in_chunk, ((0, 0), (0, padded[0] - sizes[0])))
+            targ_chunk = jnp.pad(targ_chunk, ((0, 0), (0, padded[-1] - sizes[-1])))
+
+        def regroup(a):
+            # bunch_part row split (BP_GPU.cu:29-37): device d's b-th local
+            # slice = rows [b*bunch + d*bs_local, ...) of the chunk, so the
+            # global bunches match the single-chip order exactly
+            d = a.shape[1]
+            a = a[: n_bunches * bunch]
+            a = a.reshape(n_bunches, n_dev, bs_local, d)
+            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_bunches * bs_local, d)
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("data")))
+
+        scal = _scal_coefs(rule, bunch, sizes[-1], lrate, momentum, weightcost)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        bs2 = [b.reshape(1, -1) for b in state.params["b"]]
+        dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
+        ws, ds, bs_o, dbs_o = sharded(
+            list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
+            regroup(in_chunk), regroup(targ_chunk), scal, seed_arr)
+        new = TrainState(
+            params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs_o)},
+            deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs_o)},
             step=state.step + n_bunches,
         )
         if needs_pad:

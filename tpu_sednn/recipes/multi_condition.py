@@ -37,6 +37,7 @@ class MultiConditionConfig:
     lrate: float = 1.0
     dropout: Tuple[float, float] = (0.1, 0.2)
     seed: int = 0
+    ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
     gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
@@ -57,8 +58,10 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate, shard_batch
     from tpu_sednn.recipes.finetune_nat import recipe_opt_schedule
     from tpu_sednn.train import init_train_state, make_jit_train_chunk
-    from tpu_sednn.train.step import cv_squared_error
-    from tpu_sednn.utils.checkpoint import save_checkpoint
+    from tpu_sednn.train.step import TrainState, cv_squared_error
+    from tpu_sednn.utils.checkpoint import (
+        latest_step, restore_checkpoint, save_checkpoint,
+    )
 
     log = logger or Logger()
     os.makedirs(mc.out_dir, exist_ok=True)
@@ -124,30 +127,51 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     xj, tj = to_dev(x), to_dev(t)
     xcj, tcj = jnp.asarray(x_cv), jnp.asarray(t_cv)
 
-    # 3. epoch loop with the recipe schedule
+    # 3. epoch loop with the recipe schedule, checkpointing every
+    #    mc.ckpt_every epochs and auto-resuming from the newest checkpoint
+    #    (the reference loses momentum state and every mid-epoch step on a
+    #    crash, BPtrain.cc:56-59; here a kill costs at most ckpt_every epochs)
+    ckpt_dir = os.path.join(mc.out_dir, "ckpt")
     cv_hist: List[float] = []
-    key = jax.random.key(mc.seed + 1)
+    start_epoch = 0
+    if latest_step(ckpt_dir) is not None:
+        state_r, extra, _ = restore_checkpoint(ckpt_dir)
+        start_epoch = int(extra.get("epoch", -1)) + 1
+        cv_hist = [float(v) for v in extra.get("cv_hist", [])]
+        state = TrainState(
+            params=jax.device_put(state_r.params, jax.tree.leaves(state.params)[0].sharding),
+            deltas=jax.device_put(state_r.deltas, jax.tree.leaves(state.params)[0].sharding),
+            step=state_r.step,
+        ) if use_dp else state_r
+        log.info(f"[mc] resumed from {ckpt_dir} at epoch {start_epoch}")
+    base_key = jax.random.key(mc.seed + 1)
     t_train = time.time()
-    for epoch in range(mc.n_epochs):
+    for epoch in range(start_epoch, mc.n_epochs):
         opt = recipe_opt_schedule(epoch, mc.lrate, mc.bunchsize)
-        key, kperm, sub = jax.random.split(key, 3)
+        # epoch-indexed key stream: a resumed run continues it exactly
+        kperm, sub = jax.random.split(jax.random.fold_in(base_key, epoch))
         # fresh bunch composition per epoch (the reference rebuilds its
         # lrand48 scatter every epoch); permutation gathers run on device
         perm = jax.random.permutation(kperm, xj.shape[0])
         state = run(state, jnp.take(xj, perm, axis=0), jnp.take(tj, perm, axis=0),
                     sub, opt.lrate, opt.momentum, opt.weightcost)
         cv = float(cv_squared_error(state.params, xcj, tcj, mcfg)) / len(x_cv)
+        if not np.isfinite(cv):
+            raise FloatingPointError(f"[mc] diverged at epoch {epoch} (cv={cv})")
         cv_hist.append(cv)
         log.info(f"[mc] epoch {epoch}: cv_mse={cv:.4f} momentum={opt.momentum}")
+        if (epoch + 1) % mc.ckpt_every == 0 or epoch == mc.n_epochs - 1:
+            save_checkpoint(ckpt_dir, epoch + 1, state,
+                            extra={"epoch": epoch, "cv_hist": cv_hist,
+                                   "layersizes": list(sizes)})
     train_seconds = time.time() - t_train
-    steps = mc.n_epochs * (len(x) // mc.bunchsize)
+    n_run_epochs = max(mc.n_epochs - start_epoch, 1)
+    steps = n_run_epochs * (len(x) // mc.bunchsize)
     samples_per_sec = steps * mc.bunchsize / max(train_seconds, 1e-9)
 
-    # 4. export weights + checkpoint
+    # 4. export weights
     ws, bs = params_to_wts(state.params)
     save_wts(os.path.join(mc.out_dir, "mlp.final.wts"), ws, bs)
-    save_checkpoint(os.path.join(mc.out_dir, "ckpt"), mc.n_epochs, state,
-                    extra={"cv_hist": cv_hist, "layersizes": list(sizes)})
 
     # 5. evaluate: held-out synthetic + the reference demo clips
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,

@@ -133,7 +133,48 @@ def main(argv=None) -> int:
     return 0
 
 
+def extend_main(argv=None) -> int:
+    """CLI matching Extend_rand_net[_boost]'s positional convention:
+
+        python -m tpu_sednn.tools.netgen extend \\
+            numlayers beta ori_s0..ori_sN add_s0..add_sN in.wts out.wts [--boost]
+
+    (Extend_rand_net.cpp:262 usage string: "numlayers beta ori_layersizes
+    add_layersizes in_pfile out_pfile"; --boost selects the
+    Extend_rand_net_boost resampling variant.)
+    """
+    import sys
+
+    from tpu_sednn.io.wts import load_wts, save_wts
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    boost = "--boost" in argv
+    if boost:
+        argv.remove("--boost")
+    if len(argv) < 4:
+        print("usage: numlayers beta ori_layersizes... add_layersizes... "
+              "in.wts out.wts [--boost]", file=sys.stderr)
+        return 1
+    numlayers = int(argv[0])
+    beta = float(argv[1])
+    ori = [int(v) for v in argv[2 : 2 + numlayers]]
+    add = [int(v) for v in argv[2 + numlayers : 2 + 2 * numlayers]]
+    in_wts, out_wts = argv[2 + 2 * numlayers], argv[3 + 2 * numlayers]
+    ws, bs = load_wts(in_wts, layersizes=ori)
+    if boost:
+        ws, bs = extend_net_boost(ws, bs, add)
+    else:
+        ws, bs = extend_net(ws, bs, add, beta=beta)
+    save_wts(out_wts, ws, bs)
+    new_sizes = [o + a for o, a in zip(ori, add)]
+    print(f"wrote {out_wts}: {ori} -> {new_sizes}"
+          + (" (boost resampling)" if boost else f" (glorot, beta={beta})"))
+    return 0
+
+
 if __name__ == "__main__":
     import sys
 
+    if len(sys.argv) > 1 and sys.argv[1] == "extend":
+        sys.exit(extend_main(sys.argv[2:]))
     sys.exit(main())

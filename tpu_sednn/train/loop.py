@@ -93,12 +93,18 @@ def train_epoch_pfile(
     rand: Optional[Rand48] = None,
     n_data_shards: int = 1,
     engine: str = "xla",
+    cv_dump_path: Optional[str] = None,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
 
     This is `BPtrain` run once, as a function: same arguments, same logging
     shape, state returned instead of written to disk.
+
+    cv_dump_path: write every CV output frame as a "%f "-separated line —
+    the CV_out.txt golden-output channel of BP_GPU::CrossValid
+    (BP_GPU.cu:443-473; the reference ships the fprintf commented out and
+    leaves an empty file, so here it is opt-in and actually writes).
     """
     log = logger or Logger()
     t0 = time.time()
@@ -154,12 +160,23 @@ def train_epoch_pfile(
     # CV phase (BPtrain.cc:61-87): unshuffled chunks, partial bunches included
     cv_plan = plan_chunks(fea_info.frames_before_sent, cv_sent_range, fea_context, traincache)
     sq_err = 0.0
+    dump_f = open(cv_dump_path, "w") if cv_dump_path else None
     for ci in range(cv_plan.total_chunks):
         indata, targ = read_chunk_parity(
             fea_info, targ_info, cv_plan, ci, fea_context, targ_offset,
             mean, inv_std, None, nat=nat,
         )
+        if dump_f is not None:
+            from tpu_sednn.train.step import cv_forward_and_sqerr
+
+            out, se = cv_forward_and_sqerr(
+                state.params, jnp.asarray(indata), jnp.asarray(targ), cfg)
+            np.savetxt(dump_f, np.asarray(out), fmt="%f", delimiter=" ")
+            sq_err += float(se)
+            continue
         sq_err += float(cv_squared_error(state.params, jnp.asarray(indata), jnp.asarray(targ), cfg))
+    if dump_f is not None:
+        dump_f.close()
     cv_mse = sq_err / max(cv_plan.total_samples, 1)
     dt = time.time() - t0
     log.info(f"CV over. squared error: {cv_mse:f}")
@@ -186,25 +203,50 @@ def train_epochs_arrays(
     profile_dir: Optional[str] = None,
     engine: str = "xla",
     engine_kwargs: Optional[Dict] = None,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 1,
 ) -> Tuple[TrainState, List[EpochResult]]:
     """In-memory epoch loop over prebuilt sample matrices (TPU-first path).
 
     opt_schedule(epoch) supplies per-epoch lr/momentum (the Perl recipe's
     momentum ramp 0.5 -> 0.9, finetune_...NAT.pl:36,138,221).
     profile_dir: capture a jax.profiler trace of the run (TensorBoard format).
+
+    Crash recovery (improves on the reference's per-epoch `.wts`-only story,
+    BPtrain.cc:56-59, which loses momentum state): when `ckpt_dir` is given,
+    an Orbax checkpoint carrying params+momentum+cv history is written every
+    `ckpt_every` epochs and the call RESUMES from the newest one if present.
+    Per-epoch RNG keys are derived as fold_in(seed, epoch), so a resumed run
+    continues the exact key stream — kill-and-resume reproduces the
+    uninterrupted final state bit-for-tolerance (tests/test_checkpoint.py).
+    A non-finite CV error aborts immediately (NaN guard / failure detection)
+    rather than burning epochs on a diverged model.
     """
     from tpu_sednn.utils.profiling import trace
 
     log = logger or Logger()
     results: List[EpochResult] = []
+    start_epoch = 0
+    if ckpt_dir is not None:
+        from tpu_sednn.utils.checkpoint import latest_step, restore_checkpoint
+
+        s = latest_step(ckpt_dir)
+        if s is not None:
+            state, extra, _ = restore_checkpoint(ckpt_dir, s)
+            start_epoch = int(extra.get("epoch", s - 1)) + 1
+            for e, cv in enumerate(extra.get("cv_hist", [])):
+                results.append(EpochResult(e, float(cv), x.shape[0], 0.0, 0.0))
+            log.info(f"resumed from checkpoint {ckpt_dir} at epoch {start_epoch}")
     n = x.shape[0]
-    key = jax.random.key(seed)
+    base_key = jax.random.key(seed)
     run_chunk = make_chunk_runner(cfg, opt_schedule(0), engine,
                                   **(engine_kwargs or {}))  # one compile; lr/m dynamic
     with trace(profile_dir):
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             opt = opt_schedule(epoch)
+            # epoch-indexed key stream (resume-invariant, see docstring)
+            key = jax.random.fold_in(base_key, epoch)
             key, kperm = jax.random.split(key)
             perm = np.asarray(jax.random.permutation(kperm, n))
             for st in range(0, n, traincache):
@@ -217,6 +259,11 @@ def train_epochs_arrays(
             cv_mse = float(
                 cv_squared_error(state.params, jnp.asarray(x_cv), jnp.asarray(t_cv), cfg)
             ) / len(x_cv)
+            if not np.isfinite(cv_mse):
+                raise FloatingPointError(
+                    f"non-finite CV error at epoch {epoch} (diverged); "
+                    f"last checkpoint: {ckpt_dir or 'none'}"
+                )
             dt = time.time() - t0
             res = EpochResult(epoch, cv_mse, n, dt, n / max(dt, 1e-9))
             results.append(res)
@@ -224,6 +271,16 @@ def train_epochs_arrays(
                 f"epoch {epoch}: cv_mse={cv_mse:.6f} lr={opt.lrate} m={opt.momentum} "
                 f"({res.samples_per_sec:.0f} samples/s)"
             )
+            if ckpt_dir is not None and (
+                (epoch + 1) % ckpt_every == 0 or epoch == n_epochs - 1
+            ):
+                from tpu_sednn.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    ckpt_dir, epoch + 1, state,
+                    extra={"epoch": epoch,
+                           "cv_hist": [float(r.cv_mse) for r in results]},
+                )
             if on_epoch is not None:
                 on_epoch(epoch, state, res)
     return state, results

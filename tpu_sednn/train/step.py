@@ -205,6 +205,16 @@ def clean_train_step(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))
+def cv_forward_and_sqerr(params: Params, x: jnp.ndarray, t: jnp.ndarray, cfg: ModelConfig):
+    """(outputs, total squared error) for a CV batch — the outputs feed the
+    optional CV_out.txt dump (the reference's golden-output debugging channel,
+    BP_GPU.cu:443-473: one "%f "-separated line per frame, writer shipped
+    commented out)."""
+    out = forward_eval(params, x, cfg)
+    return out, jnp.sum((out - t) ** 2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def cv_squared_error(params: Params, x: jnp.ndarray, t: jnp.ndarray, cfg: ModelConfig):
     """Total squared error over a CV batch (the reference's CV metric).
 
