@@ -186,6 +186,77 @@ def bench_decode(seconds: float, reps: int, batch: int = 64) -> dict:
     }
 
 
+def validate_dropout(n_samples: int = 4096) -> dict:
+    """TPU-executable validation of the resident kernel's hw-PRNG dropout
+    (VERDICT r1 item 7) — result lands in the bench JSON line.
+
+    1. zero-rate: the exact in-kernel mask for a grid of (bunch, layer)
+       seeds must have a zero fraction within a 5-sigma binomial CI of omit;
+    2. collisions: all sampled (bunch, layer) streams must be distinct
+       (seed-stride collision would silently correlate masks);
+    3. trajectory: training a chunk with resident hw-PRNG dropout must land
+       within a few percent of the XLA threefry-dropout path on held-out
+       MSE — different mask streams, same distribution.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.model import ModelConfig, init_params
+    from tpu_sednn.ops.resident_chunk import (
+        make_resident_train_chunk, sample_resident_masks,
+    )
+    from tpu_sednn.train import init_train_state, make_jit_train_chunk
+    from tpu_sednn.train.step import OptConfig, cv_squared_error
+
+    on_tpu = jax.default_backend() == "tpu"
+    shape = (BUNCH, 2048)
+    n_elem = shape[0] * shape[1]
+    grid = [(b, l) for b in (0, 1, 7, 255, 799) for l in range(4)]
+    zero_rate_ok = True
+    worst_dev = 0.0
+    sigs = set()
+    for b, l in grid:
+        omit = 0.1 if l == 0 else 0.2
+        mask = np.asarray(sample_resident_masks(
+            12345, b, l, shape, omit, interpret=not on_tpu))
+        zr = 1.0 - mask.mean()
+        tol = 5.0 * np.sqrt(omit * (1 - omit) / n_elem)
+        worst_dev = max(worst_dev, abs(zr - omit))
+        if on_tpu and abs(zr - omit) > tol:
+            zero_rate_ok = False
+        sigs.add(mask[:4].tobytes())
+    collision_free = (len(sigs) == len(grid)) if on_tpu else True
+
+    # trajectory: resident hw-PRNG dropout vs XLA threefry dropout
+    rel = 0.0
+    if on_tpu:
+        cfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
+                          dropout_mode="parity", dropout_rng="tpu_prng")
+        opt = OptConfig(lrate=0.2, momentum=0.5, weightcost=0.0, bunchsize=BUNCH)
+        params = init_params(jax.random.key(3), cfg, scheme="glorot")
+        key = jax.random.key(5)
+        x = jax.random.normal(key, (n_samples, LAYERS[0]), jnp.float32) * 0.3
+        proj = jax.random.normal(jax.random.fold_in(key, 1),
+                                 (LAYERS[0], LAYERS[-1]), jnp.float32) * 0.05
+        t = x @ proj
+        st_r = make_resident_train_chunk(cfg, opt)(
+            init_train_state(params), x, t, jnp.int32(17))
+        st_x = make_jit_train_chunk(cfg, opt)(
+            init_train_state(params), x, t, jax.random.key(17))
+        e_r = float(cv_squared_error(st_r.params, x, t, cfg)) / n_samples
+        e_x = float(cv_squared_error(st_x.params, x, t, cfg)) / n_samples
+        rel = abs(e_r - e_x) / max(e_x, 1e-12)
+
+    return {
+        "zero_rate_ok": bool(zero_rate_ok),
+        "zero_rate_worst_dev": round(float(worst_dev), 5),
+        "collision_free": bool(collision_free),
+        "resident_vs_xla_rel": round(float(rel), 4),
+        "pass": bool(zero_rate_ok and collision_free and rel < 0.05),
+        "on_tpu": bool(on_tpu),
+    }
+
+
 def main():
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     # 10 reps: single relay round-trips jitter by ~±15%; ~0.25 s of timed
@@ -205,10 +276,12 @@ def main():
     clean = bench_mode("clean", n_samples, reps)
     xla_parity = bench_mode("parity_xla", n_samples, reps)
     decode = bench_decode(seconds=64.0, reps=reps)
+    dropout_check = validate_dropout()
     print(f"# parity (resident megakernel on TPU): {parity}", file=sys.stderr)
     print(f"# clean bf16: {clean}", file=sys.stderr)
     print(f"# parity via plain XLA: {xla_parity}", file=sys.stderr)
     print(f"# decode (wav->enhanced wav, serving): {decode}", file=sys.stderr)
+    print(f"# dropout validation: {dropout_check}", file=sys.stderr)
 
     value = parity["audio_s_per_s"]
     print(json.dumps({
@@ -221,6 +294,7 @@ def main():
         "samples_per_sec": round(parity["samples_per_sec"]),
         "step_ms": round(parity["step_ms"], 3),
         "decode_audio_s_per_s": round(decode["audio_s_per_s"], 1),
+        "dropout_check": dropout_check,
     }))
 
 

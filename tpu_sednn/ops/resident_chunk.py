@@ -501,3 +501,30 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
         return new
 
     return run
+
+
+def sample_resident_masks(seed: int, bunch_idx: int, layer_idx: int,
+                          shape, omit: float, device_idx: int = 0,
+                          n_dev: int = 1, interpret: bool = False):
+    """The exact dropout mask the resident kernel draws for (seed, bunch,
+    layer[, device]) — same prng_seed formula and threshold — exposed as a
+    standalone pallas_call so bench.py can validate mask statistics
+    (zero-rate, stream collisions) on real TPU hardware (VERDICT r1 item 7).
+    """
+    dev_off = device_idx * _DEVICE_STRIDE if n_dev > 1 else 0
+    kseed = jnp.asarray(
+        seed + bunch_idx * _BUNCH_STRIDE + layer_idx * _LAYER_STRIDE + dev_off,
+        jnp.int32).reshape(1)
+
+    def kern(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0])
+        bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
+        o_ref[:] = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(tuple(shape), jnp.float32),
+        interpret=interpret,
+    )(kseed)
