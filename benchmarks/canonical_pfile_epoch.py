@@ -1,0 +1,181 @@
+"""Canonical-scale pfile epoch benchmark (VERDICT r1 item 2).
+
+Reproduces the reference's per-epoch unit of work end-to-end at full scale
+through the PRODUCTION pfile/CLI path — the exact pipeline the reference
+drives via its Perl recipe (/root/reference/finetune_DNN_speech_enhancement_
+dropout_NAT.pl:80-104 + BPtrain.cc:16-97):
+
+  synthetic multi-condition wav corpus -> tools/make_pfile (on-device Pallas
+  STFT, .norm emission) -> python -m tpu_sednn.cli with the canonical
+  1548 -> 2048x3 -> 129 net, traincache=102400, bunchsize=128, dropout
+  0.1/0.2, quirk-exact parity optimizer, engine=resident -> epoch wall-clock
+  + CV MSE.
+
+Everything runs: bit-exact rand48 parity init (11.8M draws, vectorized),
+lrand48 chunk shuffles (native), big-endian pfile reads + splice + NAT +
+scatter (threaded C++ reader), the host prefetcher, and the VMEM-resident
+training megakernel on the real chip.
+
+    python benchmarks/canonical_pfile_epoch.py [--frames 1050000] [--reuse]
+
+Writes artifacts/pfile_epoch.json; numbers are quoted in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 8000
+UTT_SECONDS = 3.0  # TIMIT-like utterance length
+FRAMES_PER_UTT = int(1 + (UTT_SECONDS * SR - 256) // 128)  # 186 @ 8 kHz
+
+
+def build_corpus(work: str, n_frames_target: int, seed: int = 0) -> tuple[str, str, str, int]:
+    """Synthesize the multi-condition corpus and pack pfiles via the
+    offline-toolchain replacement (tools/make_pfile semantics, in-memory)."""
+    import jax.numpy as jnp
+
+    from tpu_sednn.data.mixing import mix_at_snr, synth_noise, synth_speech
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.io import compute_norm, save_norm, write_pfile
+    from tpu_sednn.ops.stft_pallas import stft_lps_pallas
+    import jax
+
+    fea_pfile = os.path.join(work, "noisy.pfile")
+    targ_pfile = os.path.join(work, "clean.pfile")
+    norm_path = os.path.join(work, "fea.norm")
+    meta_path = os.path.join(work, "meta.json")
+    if all(os.path.exists(p) for p in (fea_pfile, targ_pfile, norm_path, meta_path)):
+        n_utts = json.load(open(meta_path))["n_utts"]
+        print(f"[corpus] reusing {work}: {n_utts} utts")
+        return fea_pfile, targ_pfile, norm_path, n_utts
+
+    n_utts = max(1, n_frames_target // FRAMES_PER_UTT)
+    rng = np.random.default_rng(seed)
+    n_samp = int(UTT_SECONDS * SR)
+    cfg = StftConfig.for_rate(SR)
+    feat = jax.jit(lambda s: stft_lps_pallas(s, cfg))
+    snrs = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
+    kinds = ("white", "pink", "babble")
+    noises = {k: synth_noise(rng, 8 * n_samp, k) for k in kinds}
+
+    clean_feats, noisy_feats = [], []
+    t0 = time.time()
+    for i in range(n_utts):
+        cl = synth_speech(rng, n_samp, SR)
+        nz = mix_at_snr(cl, noises[kinds[i % len(kinds)]], snrs[i % len(snrs)], rng)
+        clean_feats.append(np.asarray(feat(jnp.asarray(cl))))
+        noisy_feats.append(np.asarray(feat(jnp.asarray(nz))))
+        if (i + 1) % 1000 == 0:
+            print(f"[corpus] {i + 1}/{n_utts} utts ({time.time() - t0:.0f}s)")
+    write_pfile(fea_pfile, noisy_feats)
+    # pack targets as NORMALIZED clean LPS (zero-mean unit-var): the trainer
+    # applies .norm only to the input features (Interface.cc:745-746), so
+    # target conditioning is the packer's job — raw LPS targets at the
+    # recipe's lrate=1 diverge (same stabilizer as recipes/multi_condition)
+    t_mean, t_inv_std = compute_norm(np.concatenate(clean_feats))
+    write_pfile(targ_pfile, [(f - t_mean) * t_inv_std for f in clean_feats])
+    save_norm(os.path.join(work, "targ.norm"), t_mean, t_inv_std)
+    mean, inv_std = compute_norm(np.concatenate(noisy_feats))
+    save_norm(norm_path, mean, inv_std)
+    json.dump({"n_utts": n_utts,
+               "frames": int(sum(len(f) for f in noisy_feats))},
+              open(meta_path, "w"))
+    print(f"[corpus] wrote {n_utts} utts, "
+          f"{sum(len(f) for f in noisy_feats)} frames in {time.time() - t0:.0f}s")
+    return fea_pfile, targ_pfile, norm_path, n_utts
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1_050_000,
+                    help="target corpus size in frames (>=100k samples per "
+                         "VERDICT; default ~10 canonical chunks)")
+    ap.add_argument("--work", default=os.path.join(REPO, "artifacts", "pfile_epoch"))
+    ap.add_argument("--engine", default="resident")
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="epochs to run (warm-started like the Perl recipe); "
+                         "the LAST epoch's wall-clock is the steady-state "
+                         "number (first pays this backend's per-process "
+                         "remote compiles)")
+    args = ap.parse_args(argv)
+    os.makedirs(args.work, exist_ok=True)
+
+    fea, targ, norm, n_utts = build_corpus(args.work, args.frames)
+    n_cv = max(n_utts // 50, 8)
+
+    from tpu_sednn.cli import run_epoch
+    from tpu_sednn.config import TrainFlags
+    from tpu_sednn.io.wts import save_wts
+    from tpu_sednn.tools import gen_rand_net
+
+    import jax
+
+    # the recipe warm-starts from a Gen_rand_net Glorot init, not the
+    # trainer's flat U(-0.1, 0.1) (which diverges at lrate=1 on this net)
+    init_wts = os.path.join(args.work, "mlp.init.wts")
+    if not os.path.exists(init_wts):
+        ws, bs = gen_rand_net([1548, 2048, 2048, 2048, 129], flag=1, beta=1.0, seed=7)
+        save_wts(init_wts, ws, bs)
+
+    print(f"[epoch] backend={jax.default_backend()} engine={args.engine} "
+          f"train utts 0-{n_utts - n_cv - 1}, cv {n_cv} utts")
+    epochs = []
+    prev_wts = init_wts
+    for ep in range(1, args.epochs + 1):
+        out_wts = f"{args.work}/mlp.{ep}.wts"
+        flags = TrainFlags.from_argv([
+            f"initwts_file={prev_wts}",
+            f"fea_file={fea}", f"targ_file={targ}", f"norm_file={norm}",
+            f"outwts_file={out_wts}", f"log_file={args.work}/mlp.{ep}.log",
+            f"train_sent_range=0-{n_utts - n_cv - 1}",
+            f"cv_sent_range={n_utts - n_cv}-{n_utts - 1}",
+            "fea_dim=129", "fea_context=11", "targ_offset=5",
+            "dropoutflag=1", "visible_omit=0.1", "hid_omit=0.2",
+            "traincache=102400", "bunchsize=128",
+            f"init_randem_seed={17 + 345 * ep}",  # recipe's +345/epoch reseed
+            f"momentum={min(0.5 + 0.04 * max(ep - 1, 0), 0.9)}",
+            "lrate=1.0", "weightcost=0.0",
+            "layersizes=1548,2048,2048,2048,129",
+            f"engine={args.engine}",
+        ])
+        t0 = time.time()
+        cv_mse = run_epoch(flags)
+        wall = time.time() - t0
+        epochs.append({"epoch": ep, "wall_seconds": round(wall, 1),
+                       "cv_mse": cv_mse})
+        print(f"[epoch {ep}] {wall:.1f}s cv_mse={cv_mse:.4f}")
+        prev_wts = out_wts
+
+    n_train_samples = (n_utts - n_cv) * (FRAMES_PER_UTT - 10)
+    warm = epochs[-1]["wall_seconds"]  # first epoch pays the per-process compiles
+    out = {
+        "engine": args.engine,
+        "backend": jax.default_backend(),
+        "n_utts": n_utts,
+        "train_samples": n_train_samples,
+        "epochs": epochs,
+        "epoch_wall_seconds_warm": warm,
+        "samples_per_sec": round(n_train_samples / warm),
+        "audio_s_per_s": round(n_train_samples * 0.016 / warm, 1),
+        "cv_mse": epochs[-1]["cv_mse"],
+    }
+    path = os.path.join(REPO, "artifacts", "pfile_epoch.json")
+    json.dump(out, open(path, "w"), indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -171,3 +171,89 @@ def test_mixing_snr():
         added = y - c
         got = 10 * np.log10(np.mean(c**2) / np.mean(added**2))
         assert abs(got - snr) < 0.5, (snr, got)
+
+
+def test_device_chunk_matches_parity_reader(tmp_path):
+    """build_chunk_on_device + read_chunk_indexed must reproduce
+    read_chunk_parity exactly (splice, NAT, shuffled scatter) — including
+    identical lrand48 stream consumption — with padded capacities."""
+    import jax.numpy as jnp
+
+    from tpu_sednn.data.device_chunk import (
+        build_chunk_on_device, chunk_capacities, read_chunk_indexed,
+    )
+    from tpu_sednn.io import compute_norm, write_pfile
+    from tpu_sednn.io.pfile import read_pfile_info
+
+    rng = np.random.default_rng(5)
+    d, context, to = 5, 3, 1
+    utts = [rng.standard_normal((n, d)).astype(np.float32)
+            for n in (30, 2, 41, 25, 33)]  # incl. a too-short sentence
+    targs = [0.3 * u + 0.1 for u in utts]
+    fp, tp = str(tmp_path / "f.pfile"), str(tmp_path / "t.pfile")
+    write_pfile(fp, utts)
+    write_pfile(tp, targs)
+    mean, istd = compute_norm(np.concatenate(utts))
+    fea_info = read_pfile_info(fp, d)
+    targ_info = read_pfile_info(tp, d)
+    plan = plan_chunks(fea_info.frames_before_sent, (0, 4), context, 60)
+    frames_cap, samples_cap, seg_cap = chunk_capacities(fea_info, plan, context)
+
+    for ci in range(plan.total_chunks):
+        r1, r2 = Rand48(9), Rand48(9)
+        # advance both streams identically through earlier chunks
+        for cj in range(ci):
+            read_chunk_parity(fea_info, targ_info, plan, cj, context, to,
+                              mean, istd, r1)
+            read_chunk_indexed(fea_info, targ_info, plan, cj, context,
+                               mean, istd, r2)
+        want_x, want_t = read_chunk_parity(
+            fea_info, targ_info, plan, ci, context, to, mean, istd, r1)
+        fea, targ, ws, sid, soff, slen, n_s = read_chunk_indexed(
+            fea_info, targ_info, plan, ci, context, mean, istd, r2,
+            frames_cap=frames_cap, samples_cap=samples_cap, seg_cap=seg_cap)
+        assert r1.x == r2.x  # identical stream consumption
+        x, t = build_chunk_on_device(
+            jnp.asarray(fea), jnp.asarray(targ), jnp.asarray(ws),
+            jnp.asarray(sid), jnp.asarray(soff), jnp.asarray(slen),
+            context, to, True)
+        assert n_s == len(want_x)
+        np.testing.assert_allclose(np.asarray(x)[:n_s], want_x, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t)[:n_s], want_t, rtol=0, atol=0)
+
+
+def test_epoch_device_splice_matches_host_path(tmp_path):
+    """A full CLI epoch with device_splice=1 (xla engine on CPU) must train
+    to the same weights as the host parity pipeline."""
+    from tpu_sednn.cli import run_epoch
+    from tpu_sednn.config import TrainFlags
+    from tpu_sednn.io import compute_norm, save_norm, write_pfile
+    from tpu_sednn.io.wts import load_wts
+
+    rng = np.random.default_rng(0)
+    d, context, to = 4, 3, 1
+    utts = [rng.standard_normal((n, d)).astype(np.float32) for n in (40, 35, 50, 22)]
+    targs = [np.tanh(u) for u in utts]
+    fp, tp = str(tmp_path / "f.pfile"), str(tmp_path / "t.pfile")
+    write_pfile(fp, utts)
+    write_pfile(tp, targs)
+    mean, istd = compute_norm(np.concatenate(utts))
+    npth = str(tmp_path / "a.norm")
+    save_norm(npth, mean, istd)
+    base = [
+        f"fea_file={fp}", f"targ_file={tp}", f"norm_file={npth}",
+        "train_sent_range=0-2", "cv_sent_range=3-3",
+        f"fea_dim={d}", f"fea_context={context}", f"targ_offset={to}",
+        "traincache=48", "bunchsize=8", "init_randem_seed=11",
+        "momentum=0.5", "lrate=0.2", "engine=xla",
+        f"layersizes={d*context+d},16,{d}",
+    ]
+    cv_a = run_epoch(TrainFlags.from_argv(
+        base + [f"outwts_file={tmp_path}/a.wts", "device_splice=0"]))
+    cv_b = run_epoch(TrainFlags.from_argv(
+        base + [f"outwts_file={tmp_path}/b.wts", "device_splice=1"]))
+    assert abs(cv_a - cv_b) / max(cv_a, 1e-12) < 1e-4
+    wa, _ = load_wts(f"{tmp_path}/a.wts")
+    wb, _ = load_wts(f"{tmp_path}/b.wts")
+    for a, b in zip(wa, wb):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

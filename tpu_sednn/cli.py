@@ -72,7 +72,9 @@ def run_epoch(flags: TrainFlags, logger: Logger | None = None) -> float:
         logger=log,
         rand=rand,
         n_data_shards=flags.gpu_used,
+        engine=flags.engine,
         cv_dump_path=flags.cv_out_file or None,
+        device_splice=None if flags.device_splice < 0 else bool(flags.device_splice),
     )
 
     if flags.outwts_file:

@@ -40,10 +40,16 @@ class TrainFlags:
     init_randem_bias_min: float = 0.0
     init_randem_bias_max: float = 0.0
     layersizes: Tuple[int, ...] = (1548, 2048, 2048, 2048, 129)
-    # extension beyond the reference's 24 flags: opt-in CV output dump (the
-    # reference hardcodes an always-created-but-empty CV_out.txt,
-    # BP_GPU.cu:443-473); "" = off
+    # extensions beyond the reference's 24 flags:
+    # opt-in CV output dump (the reference hardcodes an always-created-but-
+    # empty CV_out.txt, BP_GPU.cu:443-473); "" = off
     cv_out_file: str = ""
+    # chunk-trainer engine: "auto" = VMEM-resident megakernel on TPU / XLA
+    # elsewhere; "xla" | "resident" force one (gpu_used>1 takes the DP path)
+    engine: str = "auto"
+    # on-device splice/NAT/scatter (1/12th host->device transfer, one fixed
+    # compile per epoch): -1 = auto (TPU+resident), 0 = off, 1 = on
+    device_splice: int = -1
 
     @classmethod
     def from_argv(cls, argv: Sequence[str]) -> "TrainFlags":

@@ -153,7 +153,11 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     m = scal[0]
     A = scal[1]
     B = scal[2]
-    inv_n = jnp.float32(1.0 / (grad_n if grad_n is not None else bunch))
+    # dynamic real-bunch count (seed[1]): the grid may be padded to a fixed
+    # capacity so one compiled kernel serves every chunk size (pfile chunks
+    # vary per sentence boundaries; mosaic compiles cost ~minutes per shape).
+    # Grid steps >= n_real skip all compute and state stays untouched.
+    n_real = seed[1]
 
     @pl.when(i == 0)
     def _load_state():
@@ -162,87 +166,93 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             cp.start()
             cp.wait()
 
-    # ---------------- forward ----------------
-    h = x_ref[:]
-    ys = []
-    for l in range(L):
-        omit = dropout[0] if l == 0 else dropout[1]
-        if omit > 0.0:
-            # DP: distinct stream per device slice (device-count-VARIANT,
-            # unlike the XLA DP path's sliced global masks — documented)
-            dev_off = my_id * _DEVICE_STRIDE if n_dev > 1 else 0
-            pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE
-                            + dev_off)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
-            mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
-            h = h * mask
-            if dropout_mode == "inverted":
-                h = h * jnp.float32(1.0 / (1.0 - omit))
-        ys.append(h)
-        z = _dot(h, Ws[l][:], bf16) + Bs[l][:]
-        if l < L - 1:
-            h = jnp.maximum(z, 0.0) if hidden == "relu" else jax.nn.sigmoid(z)
-            if hidden == "sigmoid" and valid_sizes[l + 1] < sizes[l + 1]:
-                # sigmoid(0)=0.5 on zero-padded hidden cols would leak
-                cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-                h = jnp.where(cols < valid_sizes[l + 1], h, 0.0)
-        else:
-            h = jax.nn.sigmoid(z) if output == "sigmoid" else z
-    out = h
-
-    # ---------------- backward + in-place update ----------------
-    dedx = (2.0 * inv_n) * (out - t_ref[:])
-    if output == "sigmoid":
-        dedx = dedx * out * (1.0 - out)
-        if valid_sizes[-1] < sizes[-1]:
-            cols = jax.lax.broadcasted_iota(jnp.int32, dedx.shape, 1)
-            dedx = jnp.where(cols < valid_sizes[-1], dedx, 0.0)
-
-    for l in range(L - 1, -1, -1):
-        # Row-tiled single pass over W: each (rb, N) block is read once and
-        # serves BOTH the dedy backprop (with PRE-update values — SgemmTN
-        # order, BP_GPU.cu:636 runs before DevAccSum :651) and the in-place
-        # momentum update; the (rb, N) gradient temporary stays bounded.
-        if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
-            pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
-        dedy_parts = []
-        for r0, rb in _row_blocks(sizes[l]):
-            r1 = r0 + rb
-            w_blk = Ws[l][r0:r1, :]
-            if l > 0:
-                dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
-            g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
-            g = _allreduce(g)  # DP: sum local-slice gradients over devices
-            w32 = w_blk.astype(jnp.float32)
-            nd = m * Ds[l][r0:r1, :].astype(jnp.float32) - (A * g + B * w32)
-            if sr_state:
-                # bf16 state: unbiased stochastic rounding via the hw PRNG —
-                # nearest-rounding would bias the ~1e-5-scale updates to zero
-                bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
-                Ds[l][r0:r1, :] = pltpu.stochastic_round(
-                    nd, bits, target_dtype=jnp.bfloat16)
-                bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
-                Ws[l][r0:r1, :] = pltpu.stochastic_round(
-                    w32 + nd, bits, target_dtype=jnp.bfloat16)
+    def _train_bunch_body():
+        inv_n = jnp.float32(1.0 / (grad_n if grad_n is not None else bunch))
+        # ---------------- forward ----------------
+        h = x_ref[:]
+        ys = []
+        for l in range(L):
+            omit = dropout[0] if l == 0 else dropout[1]
+            if omit > 0.0:
+                # DP: distinct stream per device slice (device-count-VARIANT,
+                # unlike the XLA DP path's sliced global masks — documented)
+                dev_off = my_id * _DEVICE_STRIDE if n_dev > 1 else 0
+                pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE
+                                + dev_off)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+                mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
+                h = h * mask
+                if dropout_mode == "inverted":
+                    h = h * jnp.float32(1.0 / (1.0 - omit))
+            ys.append(h)
+            z = _dot(h, Ws[l][:], bf16) + Bs[l][:]
+            if l < L - 1:
+                h = jnp.maximum(z, 0.0) if hidden == "relu" else jax.nn.sigmoid(z)
+                if hidden == "sigmoid" and valid_sizes[l + 1] < sizes[l + 1]:
+                    # sigmoid(0)=0.5 on zero-padded hidden cols would leak
+                    cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+                    h = jnp.where(cols < valid_sizes[l + 1], h, 0.0)
             else:
-                Ds[l][r0:r1, :] = nd
-                Ws[l][r0:r1, :] = w32 + nd
-        dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
+                h = jax.nn.sigmoid(z) if output == "sigmoid" else z
+        out = h
 
-        gb = jnp.sum(dedx, axis=0, keepdims=True)
-        if n_dev > 1:  # pad to a sublane-aligned (8, N) block for the DMA
-            gb = _allreduce(jnp.pad(gb, ((0, 7), (0, 0))))[0:1, :]
-        ndb = m * DBs[l][:] - A * gb  # biases stay f32 in both state modes
-        DBs[l][:] = ndb
-        Bs[l][:] = Bs[l][:] + ndb
+        # ---------------- backward + in-place update ----------------
+        dedx = (2.0 * inv_n) * (out - t_ref[:])
+        if output == "sigmoid":
+            dedx = dedx * out * (1.0 - out)
+            if valid_sizes[-1] < sizes[-1]:
+                cols = jax.lax.broadcasted_iota(jnp.int32, dedx.shape, 1)
+                dedx = jnp.where(cols < valid_sizes[-1], dedx, 0.0)
 
-        if l > 0:
-            y = ys[l]  # post-dropout activation of layer l-1 (reference uses
-            # the masked value for the derivative, BP_GPU.cu:536-551, 614-615)
-            dedx = jnp.where(y > 0, dedy, 0.0) if hidden == "relu" \
-                else y * (1.0 - y) * dedy
+        for l in range(L - 1, -1, -1):
+            # Row-tiled single pass over W: each (rb, N) block is read once and
+            # serves BOTH the dedy backprop (with PRE-update values — SgemmTN
+            # order, BP_GPU.cu:636 runs before DevAccSum :651) and the in-place
+            # momentum update; the (rb, N) gradient temporary stays bounded.
+            if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
+                pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
+            dedy_parts = []
+            for r0, rb in _row_blocks(sizes[l]):
+                r1 = r0 + rb
+                w_blk = Ws[l][r0:r1, :]
+                if l > 0:
+                    dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
+                g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
+                g = _allreduce(g)  # DP: sum local-slice gradients over devices
+                w32 = w_blk.astype(jnp.float32)
+                nd = m * Ds[l][r0:r1, :].astype(jnp.float32) - (A * g + B * w32)
+                if sr_state:
+                    # bf16 state: unbiased stochastic rounding via the hw PRNG —
+                    # nearest-rounding would bias the ~1e-5-scale updates to zero
+                    bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
+                    Ds[l][r0:r1, :] = pltpu.stochastic_round(
+                        nd, bits, target_dtype=jnp.bfloat16)
+                    bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
+                    Ws[l][r0:r1, :] = pltpu.stochastic_round(
+                        w32 + nd, bits, target_dtype=jnp.bfloat16)
+                else:
+                    Ds[l][r0:r1, :] = nd
+                    Ws[l][r0:r1, :] = w32 + nd
+            dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
 
-    @pl.when(i == n_bunches - 1)
+            gb = jnp.sum(dedx, axis=0, keepdims=True)
+            if n_dev > 1:  # pad to a sublane-aligned (8, N) block for the DMA
+                gb = _allreduce(jnp.pad(gb, ((0, 7), (0, 0))))[0:1, :]
+            ndb = m * DBs[l][:] - A * gb  # biases stay f32 in both state modes
+            DBs[l][:] = ndb
+            Bs[l][:] = Bs[l][:] + ndb
+
+            if l > 0:
+                y = ys[l]  # post-dropout activation of layer l-1 (reference uses
+                # the masked value for the derivative, BP_GPU.cu:536-551, 614-615)
+                dedx = jnp.where(y > 0, dedy, 0.0) if hidden == "relu" \
+                    else y * (1.0 - y) * dedy
+
+    @pl.when(i < n_real)
+    def _train_bunch():
+        _train_bunch_body()
+
+    @pl.when(i == jnp.maximum(n_real, 1) - 1)
     def _store_state():
         for src, dst in zip(Ws + Ds + Bs + DBs, w_out + d_out + b_out + db_out):
             cp = pltpu.make_async_copy(src, dst, sem)
@@ -364,7 +374,11 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
-            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
+            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost,
+            n_real=None):
+        """n_real: optional dynamic count of REAL bunches when `in_chunk` is
+        padded to a fixed capacity (one mosaic compile serves every chunk
+        size); grid steps beyond it are no-ops.  None = all bunches real."""
         n_bunches = in_chunk.shape[0] // bunch
         if n_bunches == 0:
             return state
@@ -375,7 +389,9 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         x = in_chunk[: n_bunches * bunch]
         t = targ_chunk[: n_bunches * bunch]
         scal = _scal_coefs(rule, bunch, sizes[-1], lrate, momentum, weightcost)
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        nr = n_bunches if n_real is None else n_real
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                              jnp.asarray(nr, jnp.int32)])
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
         dropout = (cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0)
@@ -387,7 +403,7 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
-            step=state.step + n_bunches,
+            step=state.step + jnp.asarray(nr, jnp.int32),
         )
         if needs_pad:
             new = _unpad_state(new, sizes)
@@ -485,7 +501,8 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                 a, NamedSharding(mesh, P("data")))
 
         scal = _scal_coefs(rule, bunch, sizes[-1], lrate, momentum, weightcost)
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                              jnp.asarray(n_bunches, jnp.int32)])
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
         ws, ds, bs_o, dbs_o = sharded(

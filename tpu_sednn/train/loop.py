@@ -33,9 +33,18 @@ from tpu_sednn.train.step import (
 from tpu_sednn.utils.logging import Logger
 
 
+_RUNNER_MEMO: Dict = {}
+
+
 def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
                       **engine_kwargs):
     """Chunk-trainer factory shared by the epoch drivers.
+
+    Memoized on (cfg, opt, engine, kwargs): repeated calls (one per epoch in
+    the recipe driver) return the SAME jitted runner, so nothing recompiles
+    across epochs — essential on this backend, where the persistent
+    compilation cache is unsupported and each mosaic compile costs ~minutes
+    over the remote-compile relay (lrate/momentum stay dynamic args).
 
     engine:
       * "xla"      — the jitted lax.scan parity chunk (make_jit_train_chunk);
@@ -48,21 +57,27 @@ def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
     """
     if engine == "auto":
         engine = "resident" if jax.default_backend() == "tpu" else "xla"
+    memo_key = (cfg, opt, engine, tuple(sorted(engine_kwargs.items())))
+    if memo_key in _RUNNER_MEMO:
+        return _RUNNER_MEMO[memo_key]
     if engine == "resident":
         from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
 
         run_res = make_resident_train_chunk(cfg, opt, **engine_kwargs)
 
         def run(state, x, t, rng, lrate=opt.lrate, momentum=opt.momentum,
-                weightcost=opt.weightcost):
+                weightcost=opt.weightcost, n_real=None):
             # the in-kernel hardware PRNG takes an int32 seed, not a key
             seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
-            return run_res(state, x, t, seed, lrate, momentum, weightcost)
+            return run_res(state, x, t, seed, lrate, momentum, weightcost,
+                           n_real=n_real)
 
-        return run
-    if engine != "xla":
+    elif engine == "xla":
+        run = make_jit_train_chunk(cfg, opt)
+    else:
         raise ValueError(f"unknown engine {engine!r}")
-    return make_jit_train_chunk(cfg, opt)
+    _RUNNER_MEMO[memo_key] = run
+    return run
 
 
 @dataclass
@@ -94,6 +109,7 @@ def train_epoch_pfile(
     n_data_shards: int = 1,
     engine: str = "xla",
     cv_dump_path: Optional[str] = None,
+    device_splice: Optional[bool] = None,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
@@ -105,6 +121,13 @@ def train_epoch_pfile(
     the CV_out.txt golden-output channel of BP_GPU::CrossValid
     (BP_GPU.cu:443-473; the reference ships the fprintf commented out and
     leaves an empty file, so here it is opt-in and actually writes).
+
+    device_splice: ship RAW normalized frames + int32 gather tables per chunk
+    and run splice/NAT/scatter on device (data.device_chunk) — ~1/12th the
+    host->device transfer — with every chunk padded to fixed capacities so
+    the resident megakernel compiles ONCE for the whole epoch (its dynamic
+    n_real skips the padded bunches).  Same math as read_chunk_parity.
+    None = auto: on for the single-shard resident engine on a TPU backend.
     """
     log = logger or Logger()
     t0 = time.time()
@@ -128,6 +151,12 @@ def train_epoch_pfile(
 
     # the reference's gpu_used flag maps to data-parallel mesh shards here
     # (the multi-GPU bunch-split of BP_GPU.cu:29-37, actually enabled)
+    resolved_engine = engine
+    if resolved_engine == "auto":
+        resolved_engine = "resident" if jax.default_backend() == "tpu" else "xla"
+    if device_splice is None:
+        device_splice = (n_data_shards == 1 and resolved_engine == "resident"
+                         and jax.default_backend() == "tpu" and nat)
     if n_data_shards > 1:
         from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate
 
@@ -138,24 +167,57 @@ def train_epoch_pfile(
             step=state.step,
         )
         run_chunk = make_dp_train_chunk(cfg, opt, mesh)
+        device_splice = False
     else:
-        run_chunk = make_chunk_runner(cfg, opt, engine)
+        run_chunk = make_chunk_runner(cfg, opt, resolved_engine)
     rng = jax.random.key(seed)
 
     # host chunk prep runs one step ahead of device compute (single worker, so
     # the parity lrand48 stream is still consumed strictly in chunk order)
     from tpu_sednn.data.prefetch import Prefetcher
 
-    def read(ci):
-        return read_chunk_parity(
-            fea_info, targ_info, plan, int(ci), fea_context, targ_offset,
-            mean, inv_std, rand, nat=nat,
+    if device_splice:
+        from tpu_sednn.data.device_chunk import (
+            build_chunk_on_device, chunk_capacities, read_chunk_indexed,
         )
 
-    for i, (indata, targ) in enumerate(Prefetcher(chunk_order, read, depth=2)):
-        rng, sub = jax.random.split(rng)
-        state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub)
-        log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
+        frames_cap, samples_cap, seg_cap = chunk_capacities(fea_info, plan, fea_context)
+        samples_cap = ((samples_cap + opt.bunchsize - 1)
+                       // opt.bunchsize) * opt.bunchsize
+
+        def read_idx(ci):
+            return read_chunk_indexed(
+                fea_info, targ_info, plan, int(ci), fea_context, mean, inv_std,
+                rand, frames_cap=frames_cap, samples_cap=samples_cap,
+                seg_cap=seg_cap,
+            )
+
+        for i, item in enumerate(Prefetcher(chunk_order, read_idx, depth=2)):
+            fea, targ, win_start, seg_id, seg_off, seg_len, n_samples = item
+            x, t = build_chunk_on_device(
+                jnp.asarray(fea), jnp.asarray(targ), jnp.asarray(win_start),
+                jnp.asarray(seg_id), jnp.asarray(seg_off), jnp.asarray(seg_len),
+                fea_context, targ_offset, nat)
+            rng, sub = jax.random.split(rng)
+            n_real = n_samples // opt.bunchsize
+            if resolved_engine == "resident":
+                state = run_chunk(state, x, t, sub, n_real=n_real)
+            else:  # xla engine: trim to real bunches (shape varies per chunk)
+                keep = n_real * opt.bunchsize
+                state = run_chunk(state, x[:keep], t[:keep], sub)
+            log.info(f"Starting chunk {i + 1} of {plan.total_chunks} "
+                     f"containing {n_samples} samples.")
+    else:
+        def read(ci):
+            return read_chunk_parity(
+                fea_info, targ_info, plan, int(ci), fea_context, targ_offset,
+                mean, inv_std, rand, nat=nat,
+            )
+
+        for i, (indata, targ) in enumerate(Prefetcher(chunk_order, read, depth=2)):
+            rng, sub = jax.random.split(rng)
+            state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub)
+            log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
 
     # CV phase (BPtrain.cc:61-87): unshuffled chunks, partial bunches included
     cv_plan = plan_chunks(fea_info.frames_before_sent, cv_sent_range, fea_context, traincache)
