@@ -1,0 +1,59 @@
+"""Quality gate on the reference's enh_wav_example fixtures.
+
+Two tiers:
+* a CPU-sized smoke: evaluate_demo_clips runs end-to-end on a tiny random
+  model (no quality asserted — plumbing + metric sanity only);
+* the TRACKED gate: artifacts/demo_gate.json — produced on TPU by
+  `python -m tpu_sednn.recipes.multi_condition` (full config) and committed —
+  must meet the thresholds below.  Retraining regressions show up here.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "demo_gate.json")
+
+# Tracked thresholds (set from the round-2 mc_full TPU run; see BASELINE.md).
+# lsd_gain > 0 means our enhanced output is closer (in log-spectral distance)
+# to the shipped SEDNN output than the raw noisy clip is.
+MIN_LSD_GAIN = {"test1": 0.5, "test2": 0.5, "test3": 0.5}
+MIN_STOI_GAIN = -0.05  # enhancement must not wreck intelligibility vs shipped
+
+
+def test_demo_clip_eval_runs_cpu(tmp_path):
+    import jax
+
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance.decode import EnhanceConfig
+    from tpu_sednn.model import ModelConfig, init_params
+    from tpu_sednn.recipes.demo_gate import evaluate_demo_clips
+
+    if not os.path.isdir("/root/reference/enh_wav_example"):
+        pytest.skip("reference demo clips unavailable")
+    stft = StftConfig.for_rate(8000)
+    d = stft.n_bins
+    cfg = ModelConfig(layersizes=(d * 3 + d, 32, d))
+    params = init_params(jax.random.key(0), cfg, scheme="glorot")
+    ecfg = EnhanceConfig(stft=stft, fea_context=3, targ_offset=1, nat=True)
+    res = evaluate_demo_clips(params, cfg, ecfg,
+                              np.zeros(d, np.float32), np.ones(d, np.float32))
+    assert set(res) >= {"test1", "test2", "test3", "pass"}
+    for name in ("test1", "test2", "test3"):
+        assert res[name]["finite"]
+        assert np.isfinite(res[name]["lsd_gain"])
+
+
+def test_demo_gate_tracked_thresholds():
+    if not os.path.exists(ART):
+        pytest.skip("artifacts/demo_gate.json not yet produced (TPU run)")
+    res = json.load(open(ART))
+    for name, min_gain in MIN_LSD_GAIN.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (
+            f"{name}: lsd_gain {m['lsd_gain']} < tracked {min_gain} — "
+            "enhanced output regressed vs the shipped SEDNN reference")
+        assert m["stoi_gain"] >= MIN_STOI_GAIN, (name, m["stoi_gain"])

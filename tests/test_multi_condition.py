@@ -28,7 +28,13 @@ def test_multi_condition_mini(tmp_path):
     assert ev["snr_enh"] > ev["snr_noisy"]
     assert os.path.exists(str(tmp_path / "mc" / "mlp.final.wts"))
     assert os.path.exists(str(tmp_path / "mc" / "fea.norm"))
-    assert res["eval"]["reference_demo"]["finite"]
+    demo = res["eval"]["demo_clips"]  # all three enh_wav_example pairs scored
+    assert set(demo) >= {"test1", "test2", "test3"}
+    for name in ("test1", "test2", "test3"):
+        assert demo[name]["finite"]
+        assert np.isfinite(demo[name]["lsd_gain"])
+    assert os.path.exists(str(tmp_path / "mc" / "demo_gate.json"))
+    assert os.path.exists(str(tmp_path / "mc" / "targ.norm"))
     with open(str(tmp_path / "mc" / "results.json")) as f:
         assert json.load(f)["cv_hist"] == res["cv_hist"]
 

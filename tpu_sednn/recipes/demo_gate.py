@@ -56,11 +56,17 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
     """-> {clip: {lsd_gain, stoi_gain, segsnr_gain, ...}} for every shipped
     before/after pair, plus a 'pass' summary.  All audio is compared at the
     model's sample rate (the 16 kHz clips are resampled)."""
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp import stft_logpower
     from tpu_sednn.enhance.decode import enhance_waveform
     from tpu_sednn.io import read_wav, write_wav
     from tpu_sednn.metrics import lsd, seg_snr, stoi
 
     sr = enh_cfg.stft.sample_rate
+
+    def _lps(w):
+        return np.asarray(stft_logpower(jnp.asarray(w), enh_cfg.stft))
     results = {}
     for name, noisy_f, shipped_f in PAIRS:
         noisy_p = os.path.join(demo_dir, noisy_f)
@@ -79,9 +85,10 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
         if out_dir:
             write_wav(os.path.join(out_dir, f"{name}_tpu_sednn_enh.wav"), ours, sr)
 
+        shipped_lps = _lps(shipped)
         m = {
-            "lsd_noisy_vs_shipped": lsd(shipped, noisy, sr),
-            "lsd_ours_vs_shipped": lsd(shipped, ours, sr),
+            "lsd_noisy_vs_shipped": lsd(shipped_lps, _lps(noisy)),
+            "lsd_ours_vs_shipped": lsd(shipped_lps, _lps(ours)),
             "stoi_shipped_vs_noisy": stoi(shipped, noisy, sr),
             "stoi_shipped_vs_ours": stoi(shipped, ours, sr),
             "segsnr_shipped_vs_noisy": seg_snr(shipped, noisy, sr),

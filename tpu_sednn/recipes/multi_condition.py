@@ -51,7 +51,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     from tpu_sednn.data.mixing import mix_at_snr, synth_corpus, synth_noise, synth_speech
     from tpu_sednn.dsp import StftConfig
     from tpu_sednn.enhance import EnhanceConfig, enhance_waveform
-    from tpu_sednn.io import compute_norm, read_wav, save_norm, save_wts, write_wav
+    from tpu_sednn.io import compute_norm, save_norm, save_wts
     from tpu_sednn.metrics import lsd, pesq, seg_snr, snr, stoi
     from tpu_sednn.model import ModelConfig, init_params, params_to_wts
     from tpu_sednn.ops.stft_pallas import stft_lps_pallas
@@ -83,6 +83,9 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     t_mean, t_inv_std = (compute_norm(np.concatenate(clean_lps))
                          if mc.target_norm else (None, None))
     save_norm(os.path.join(mc.out_dir, "fea.norm"), mean, inv_std)
+    if mc.target_norm:
+        # needed to denormalize at decode (demo_gate / enhance CLI)
+        save_norm(os.path.join(mc.out_dir, "targ.norm"), t_mean, t_inv_std)
     # clean-corpus global variance for decode-time GV equalization (TASLP'15);
     # consumable via `python -m tpu_sednn.enhance --gv-ref gv.txt --gv-mode ...`
     gv_ref = np.concatenate(clean_lps).var(axis=0)
@@ -198,19 +201,23 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         log.info(f"[mc] synth {snr_db:g} dB: SNR {m['snr_noisy']:.1f}->{m['snr_enh']:.1f}, "
                  f"STOI {m['stoi_noisy']:.3f}->{m['stoi_enh']:.3f}")
 
-    demo = "/root/reference/enh_wav_example/test1_org_noisy.wav"
-    if os.path.exists(demo):
-        from scipy.signal import resample_poly
-        w, wsr = read_wav(demo)
-        if wsr != mc.sample_rate:
-            g = np.gcd(wsr, mc.sample_rate)
-            w = resample_poly(w, mc.sample_rate // g, wsr // g).astype(np.float32)
-        enh = enhance_waveform(state.params, mcfg, enh_cfg, w, mean, inv_std, target_norm=tn, gv_ref=gv_arg)
-        out_wav = os.path.join(mc.out_dir, "test1_enhanced.wav")
-        write_wav(out_wav, enh, mc.sample_rate)
-        results["eval"]["reference_demo"] = {"wav": out_wav,
-                                             "finite": bool(np.isfinite(enh).all())}
-        log.info(f"[mc] enhanced reference demo clip -> {out_wav}")
+    # quantitative gate on the reference's only e2e fixture: all three
+    # enh_wav_example before/after pairs, scored against the SHIPPED SEDNN
+    # outputs (recipes/demo_gate.py; VERDICT r1 item 1)
+    if os.path.isdir("/root/reference/enh_wav_example"):
+        from tpu_sednn.recipes.demo_gate import evaluate_demo_clips
+
+        demo = evaluate_demo_clips(state.params, mcfg, enh_cfg, mean, inv_std,
+                                   target_norm=tn, gv_ref=gv_arg,
+                                   out_dir=mc.out_dir)
+        results["eval"]["demo_clips"] = demo
+        with open(os.path.join(mc.out_dir, "demo_gate.json"), "w") as f:
+            json.dump(demo, f, indent=2)
+        for name, m in demo.items():
+            if isinstance(m, dict):
+                log.info(f"[mc] demo {name}: lsd_gain={m['lsd_gain']:+.3f} dB "
+                         f"stoi_gain={m['stoi_gain']:+.4f} "
+                         f"segsnr_gain={m['segsnr_gain']:+.2f} dB")
 
     results["total_seconds"] = time.time() - t_start
     with open(os.path.join(mc.out_dir, "results.json"), "w") as f:
