@@ -36,7 +36,8 @@ def main() -> int:
         n_epochs=18,
         hidden=(2048, 2048, 2048),
         snrs=(-5.0, 0.0, 5.0, 10.0, 15.0, 20.0),
-        noise_kinds=("white", "pink", "babble"),
+        noise_kinds=("white", "pink", "babble", "hum", "machinegun",
+                     "factory", "hfchannel"),
         ckpt_every=5,
     )
     res = run_multi_condition(mc)

@@ -74,3 +74,19 @@ def test_irm_training_and_mask_decode():
     assert np.isfinite(enh).all()
     sl = slice(CFG.win_len, len(clean) - CFG.win_len)
     assert snr(clean[sl], enh[sl]) > snr(clean[sl], noisy[sl]) + 1.0
+
+
+def test_all_noise_kinds_generate():
+    from tpu_sednn.data.mixing import NOISE_KINDS, mix_at_snr, synth_noise, synth_speech
+
+    rng = np.random.default_rng(0)
+    c = synth_speech(rng, 16000, 8000)
+    for kind in NOISE_KINDS:
+        n = synth_noise(rng, 16000, kind)
+        assert n.shape == (16000,) and np.isfinite(n).all(), kind
+        assert 0 < np.abs(n).max() <= 0.1 + 1e-6, kind
+        nz = mix_at_snr(c, n, 5.0, rng)
+        # mixed at the requested global SNR (within fp tolerance)
+        p_c = np.mean(c**2)
+        p_n = np.mean((nz - c) ** 2)
+        assert abs(10 * np.log10(p_c / p_n) - 5.0) < 0.1, kind

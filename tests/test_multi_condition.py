@@ -59,3 +59,26 @@ def test_prefetcher_order_and_errors():
     except RuntimeError:
         pass
     assert got == [0, 1, 2]
+
+
+def test_multi_condition_irm_head(tmp_path):
+    """The Interspeech'15 mask-estimation variant trains end-to-end: sigmoid
+    head on IRM targets, decode applies the estimated mask to the noisy
+    spectrum, and enhancement beats the noisy input on held-out SNR."""
+    mc = MultiConditionConfig(
+        out_dir=str(tmp_path / "mc_irm"),
+        n_utts=16,
+        snrs=(0.0, 5.0),
+        noise_kinds=("white",),
+        fea_context=5,
+        targ_offset=2,
+        hidden=(128, 128),
+        n_epochs=5,
+        bunchsize=64,
+        head="irm",
+    )
+    res = run_multi_condition(mc, logger=Logger(stream=None))
+    assert res["cv_hist"][-1] < res["cv_hist"][0]
+    ev = res["eval"]["synthetic_0dB"]
+    assert ev["snr_enh"] > ev["snr_noisy"]
+    assert ev["stoi_enh"] > ev["stoi_noisy"] - 0.02

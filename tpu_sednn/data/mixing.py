@@ -65,7 +65,15 @@ def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000) -> np
     return (0.3 * sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
 
 
+#: every synthetic noise family; NoiseX-92-flavored coverage of the stationary
+#: / tonal / impulsive / band-limited axes the reference trains against
+#: (README.md:13-24: "104-115 noise types")
+NOISE_KINDS = ("white", "pink", "babble", "hum", "machinegun", "factory",
+               "hfchannel")
+
+
 def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -> np.ndarray:
+    t = np.arange(n_samples)
     if kind == "white":
         x = rng.standard_normal(n_samples)
     elif kind == "pink":
@@ -75,6 +83,32 @@ def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -
         x = np.fft.irfft(spec / np.sqrt(f), n_samples)
     elif kind == "babble":
         x = sum(synth_speech(rng, n_samples) for _ in range(6))
+    elif kind == "hum":
+        # tonal machinery: fundamental + harmonics + a little broadband bed
+        f0 = rng.uniform(60.0, 220.0)
+        x = sum((1.0 / h) * np.sin(2 * np.pi * f0 * h * t / 8000.0
+                                   + rng.uniform(0, 2 * np.pi))
+                for h in range(1, 9))
+        x = x + 0.15 * rng.standard_normal(n_samples)
+    elif kind == "machinegun":
+        # impulsive bursts over near-silence (NoiseX machine-gun shape)
+        x = 0.02 * rng.standard_normal(n_samples)
+        period = int(rng.uniform(0.18, 0.5) * 8000)
+        blen = int(0.03 * 8000)
+        for st in range(int(rng.uniform(0, period)), n_samples - blen, period):
+            x[st : st + blen] += rng.standard_normal(blen) * np.hanning(blen) * 4.0
+    elif kind == "factory":
+        # pink bed + random clanks + slow amplitude modulation
+        x = synth_noise(rng, n_samples, "pink").astype(np.float64)
+        for _ in range(max(1, n_samples // 6000)):
+            st = int(rng.integers(0, max(1, n_samples - 400)))
+            x[st : st + 400] += rng.standard_normal(400) * np.hanning(400) * 0.6
+        x = x * (1.0 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * t / 8000.0))
+    elif kind == "hfchannel":
+        # high-pass-weighted noise (hf radio channel flavor)
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.fft.rfftfreq(n_samples)
+        x = np.fft.irfft(spec * (0.1 + f / (f.max() + 1e-12)), n_samples)
     else:
         raise ValueError(f"unknown noise kind {kind}")
     return (0.1 * x / (np.abs(x).max() + 1e-9)).astype(np.float32)

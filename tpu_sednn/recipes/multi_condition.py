@@ -39,6 +39,11 @@ class MultiConditionConfig:
     seed: int = 0
     ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
+    # training head: "lps" regression (TASLP'15) or "irm"/"ibm" mask
+    # estimation (the Interspeech'15 variant; same trainer, different target
+    # pfile — finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
+    head: str = "lps"
+    ibm_lc_db: float = 5.0  # IBM local criterion (the reference's LC5dB)
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
     gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
 
@@ -79,11 +84,13 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     noisy_lps = [np.asarray(feat(jnp.asarray(n))) for n in noisys]
     audio_seconds = sum(len(c) for c in cleans) / mc.sample_rate
 
+    mask_head = mc.head in ("irm", "ibm")
+    target_norm = mc.target_norm and not mask_head  # masks are already [0,1]
     mean, inv_std = compute_norm(np.concatenate(noisy_lps))
     t_mean, t_inv_std = (compute_norm(np.concatenate(clean_lps))
-                         if mc.target_norm else (None, None))
+                         if target_norm else (None, None))
     save_norm(os.path.join(mc.out_dir, "fea.norm"), mean, inv_std)
-    if mc.target_norm:
+    if target_norm:
         # needed to denormalize at decode (demo_gate / enhance CLI)
         save_norm(os.path.join(mc.out_dir, "targ.norm"), t_mean, t_inv_std)
     # clean-corpus global variance for decode-time GV equalization (TASLP'15);
@@ -91,20 +98,33 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     gv_ref = np.concatenate(clean_lps).var(axis=0)
     np.savetxt(os.path.join(mc.out_dir, "gv.txt"), gv_ref)
 
+    if mask_head:
+        # Interspeech'15 variant: same trainer, mask targets + sigmoid head
+        from tpu_sednn.data.masks import ibm_from_lps, irm_from_lps
+
+        targets = [
+            irm_from_lps(c, n) if mc.head == "irm"
+            else ibm_from_lps(c, n, mc.ibm_lc_db)
+            for c, n in zip(clean_lps, noisy_lps)
+        ]
+    else:
+        targets = clean_lps
     x, t = build_training_arrays(
-        noisy_lps, clean_lps, mc.fea_context, mc.targ_offset, nat=True,
+        noisy_lps, targets, mc.fea_context, mc.targ_offset, nat=True,
         mean=mean, inv_std=inv_std, targ_mean=t_mean, targ_inv_std=t_inv_std,
     )
     n_cv = max(len(x) // 20, mc.bunchsize)
     x_cv, t_cv = x[-n_cv:], t[-n_cv:]
     x, t = x[:-n_cv], t[:-n_cv]
     log.info(f"[mc] {len(x)} train / {len(x_cv)} cv samples "
-             f"({audio_seconds:.0f} audio-seconds), input dim {x.shape[1]}")
+             f"({audio_seconds:.0f} audio-seconds), input dim {x.shape[1]}, "
+             f"head {mc.head}")
 
     # 2. model + sharded trainer
     sizes = (d * mc.fea_context + d, *mc.hidden, d)
     mcfg = ModelConfig(layersizes=sizes, dropout_vis=mc.dropout[0],
-                       dropout_hid=mc.dropout[1], dropout_mode="parity")
+                       dropout_hid=mc.dropout[1], dropout_mode="parity",
+                       output="sigmoid" if mask_head else "linear")
     params = init_params(jax.random.key(mc.seed), mcfg, scheme="glorot")
 
     n_dev = len(jax.devices())
@@ -178,8 +198,10 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
 
     # 5. evaluate: held-out synthetic + the reference demo clips
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,
-                            targ_offset=mc.targ_offset, nat=True, gv_mode=mc.gv_mode)
-    tn = (t_mean, t_inv_std) if mc.target_norm else None
+                            targ_offset=mc.targ_offset, nat=True,
+                            head=mc.head, gv_mode=mc.gv_mode,
+                            mask_floor=0.05 if mask_head else 0.0)
+    tn = (t_mean, t_inv_std) if target_norm else None
     gv_arg = gv_ref if mc.gv_mode != "off" else None
     rng = np.random.default_rng(mc.seed + 99)
     results: Dict = {"cv_hist": cv_hist, "train_samples_per_sec": samples_per_sec,
