@@ -62,6 +62,7 @@ class RecipeConfig:
     visible_omit: float = 0.1
     hid_omit: float = 0.2
     init_wts: str = ""  # epoch-1 warm start (e.g. from gen_rand_net)
+    engine: str = "auto"  # chunk trainer: auto | xla | resident
     reset_momentum_each_epoch: bool = True  # reference quirk (SURVEY.md §5.4)
     halve_on_plateau: bool = False
     plateau_threshold: float = 0.0  # improvement below this halves lrate
@@ -92,7 +93,7 @@ def run_recipe(rc: RecipeConfig, logger: Optional[Logger] = None) -> List[float]
             bunchsize=rc.bunchsize, init_randem_seed=seed,
             momentum=opt.momentum, weightcost=rc.weightcost, lrate=lrate,
             visible_omit=rc.visible_omit, hid_omit=rc.hid_omit,
-            layersizes=rc.layersizes,
+            layersizes=rc.layersizes, engine=rc.engine,
         )
         cv = run_epoch(flags)
         log.info(f"iter {i} lrate={lrate} momentum={opt.momentum} cv_mse={cv:.6f}")
