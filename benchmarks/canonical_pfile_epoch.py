@@ -67,8 +67,8 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0) -> tuple[str, s
     cfg = StftConfig.for_rate(SR)
     feat = jax.jit(lambda s: stft_lps_pallas(s, cfg))
     snrs = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
-    kinds = ("white", "pink", "babble", "hum", "machinegun", "factory",
-             "hfchannel")
+    from tpu_sednn.data.mixing import NOISE_KINDS as kinds
+
     noises = {k: synth_noise(rng, 8 * n_samp, k) for k in kinds}
 
     clean_feats, noisy_feats = [], []

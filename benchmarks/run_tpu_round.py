@@ -25,6 +25,7 @@ def main() -> int:
     t0 = time.time()
 
     # ---- 1. full multi-condition training + demo gate ----
+    from tpu_sednn.data.mixing import NOISE_KINDS
     from tpu_sednn.recipes.multi_condition import (
         MultiConditionConfig, run_multi_condition,
     )
@@ -36,8 +37,7 @@ def main() -> int:
         n_epochs=18,
         hidden=(2048, 2048, 2048),
         snrs=(-5.0, 0.0, 5.0, 10.0, 15.0, 20.0),
-        noise_kinds=("white", "pink", "babble", "hum", "machinegun",
-                     "factory", "hfchannel"),
+        noise_kinds=NOISE_KINDS,
         ckpt_every=5,
     )
     res = run_multi_condition(mc)

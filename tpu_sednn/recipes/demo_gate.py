@@ -68,10 +68,12 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
     def _lps(w):
         return np.asarray(stft_logpower(jnp.asarray(w), enh_cfg.stft))
     results = {}
+    missing = []
     for name, noisy_f, shipped_f in PAIRS:
         noisy_p = os.path.join(demo_dir, noisy_f)
         shipped_p = os.path.join(demo_dir, shipped_f)
         if not (os.path.exists(noisy_p) and os.path.exists(shipped_p)):
+            missing.append(name)
             continue
         noisy, nsr = read_wav(noisy_p)
         shipped, ssr = read_wav(shipped_p)
@@ -100,7 +102,10 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
         m["segsnr_gain"] = m["segsnr_shipped_vs_ours"] - m["segsnr_shipped_vs_noisy"]
         results[name] = {k: (round(float(v), 4) if not isinstance(v, bool) else v)
                          for k, v in m.items()}
-    results["pass"] = all(
+    if missing:
+        # a gate that scored nothing must not read as passing
+        results["missing"] = missing
+    results["pass"] = not missing and all(
         r["finite"] and r["lsd_gain"] > 0 for r in results.values()
         if isinstance(r, dict)
     )
@@ -130,13 +135,23 @@ def main(argv=None) -> int:
     params = params_from_wts(ws, bs)
     d = len(bs[-1])
     sizes = tuple([ws[0].shape[0]] + [len(b) for b in bs])
-    sr = 8000 if d == 129 else 16000
+    # run.json (written by recipes.multi_condition) pins the decode config;
+    # without it, fall back to the canonical-lps-recipe defaults
+    manifest = {}
+    man_path = os.path.join(run_dir, "run.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+    head = manifest.get("head", "lps")
+    sr = manifest.get("sample_rate", 8000 if d == 129 else 16000)
     stft = StftConfig.for_rate(sr)
     # recipe geometry: layersizes[0] = context*d + d (NAT appended)
-    context = (sizes[0] // d) - 1
-    nat = sizes[0] == context * d + d
-    mcfg = ModelConfig(layersizes=sizes, dropout_vis=0.1, dropout_hid=0.2,
-                       dropout_mode="parity")
+    context = manifest.get("fea_context", (sizes[0] // d) - 1)
+    nat = manifest.get("nat", sizes[0] == context * d + d)
+    dr_vis, dr_hid = manifest.get("dropout", (0.1, 0.2))
+    mcfg = ModelConfig(layersizes=sizes, dropout_vis=dr_vis, dropout_hid=dr_hid,
+                       dropout_mode="parity",
+                       output="sigmoid" if head in ("irm", "ibm") else "linear")
     mean, inv_std = load_norm(os.path.join(run_dir, "fea.norm"), d)
     tn = None
     tnorm_path = os.path.join(run_dir, "targ.norm")
@@ -144,12 +159,16 @@ def main(argv=None) -> int:
         tn = load_norm(tnorm_path, d)
     gv = None
     gv_path = os.path.join(run_dir, "gv.txt")
-    gv_mode = "off"
-    if os.path.exists(gv_path):
+    gv_mode = manifest.get("gv_mode", "off")
+    if os.path.exists(gv_path) and gv_mode != "off":
         gv = np.loadtxt(gv_path).astype(np.float32)
-        gv_mode = "global"
+    else:
+        gv_mode = "off"
     ecfg = EnhanceConfig(stft=stft, fea_context=context,
-                         targ_offset=(context - 1) // 2, nat=nat,
+                         targ_offset=manifest.get("targ_offset",
+                                                  (context - 1) // 2),
+                         nat=nat, head=head,
+                         mask_floor=manifest.get("mask_floor", 0.0),
                          gv_mode=gv_mode)
 
     res = evaluate_demo_clips(params, mcfg, ecfg, mean, inv_std,

@@ -188,13 +188,26 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
                             extra={"epoch": epoch, "cv_hist": cv_hist,
                                    "layersizes": list(sizes)})
     train_seconds = time.time() - t_train
-    n_run_epochs = max(mc.n_epochs - start_epoch, 1)
+    n_run_epochs = mc.n_epochs - start_epoch
     steps = n_run_epochs * (len(x) // mc.bunchsize)
-    samples_per_sec = steps * mc.bunchsize / max(train_seconds, 1e-9)
+    # a fully-resumed run trains zero epochs: report 0, not a fabricated rate
+    samples_per_sec = (steps * mc.bunchsize / max(train_seconds, 1e-9)
+                       if n_run_epochs > 0 else 0.0)
 
-    # 4. export weights
+    # 4. export weights + a run manifest so standalone re-scoring
+    #    (recipes/demo_gate.py CLI, enhance CLI) reconstructs the exact
+    #    decode configuration (head/rates/geometry) instead of guessing
     ws, bs = params_to_wts(state.params)
     save_wts(os.path.join(mc.out_dir, "mlp.final.wts"), ws, bs)
+    with open(os.path.join(mc.out_dir, "run.json"), "w") as f:
+        json.dump({
+            "head": mc.head, "sample_rate": mc.sample_rate,
+            "fea_context": mc.fea_context, "targ_offset": mc.targ_offset,
+            "dropout": list(mc.dropout), "gv_mode": mc.gv_mode,
+            "layersizes": list(sizes), "nat": True,
+            "mask_floor": 0.05 if mask_head else 0.0,
+            "target_norm": bool(target_norm),
+        }, f, indent=2)
 
     # 5. evaluate: held-out synthetic + the reference demo clips
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,

@@ -151,11 +151,16 @@ def extend_main(argv=None) -> int:
     boost = "--boost" in argv
     if boost:
         argv.remove("--boost")
+    usage = ("usage: numlayers beta ori_layersizes... add_layersizes... "
+             "in.wts out.wts [--boost]")
     if len(argv) < 4:
-        print("usage: numlayers beta ori_layersizes... add_layersizes... "
-              "in.wts out.wts [--boost]", file=sys.stderr)
+        print(usage, file=sys.stderr)
         return 1
     numlayers = int(argv[0])
+    if len(argv) != 4 + 2 * numlayers:  # 2 + 2*numlayers sizes + 2 paths
+        print(f"{usage}\nexpected {4 + 2 * numlayers} args for "
+              f"numlayers={numlayers}, got {len(argv)}", file=sys.stderr)
+        return 1
     beta = float(argv[1])
     ori = [int(v) for v in argv[2 : 2 + numlayers]]
     add = [int(v) for v in argv[2 + numlayers : 2 + 2 * numlayers]]

@@ -54,10 +54,16 @@ def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
     engine_kwargs are forwarded to the resident factory (interpret/bf16).
     All runners share the signature
       run(state, x, t, rng, lrate=…, momentum=…, weightcost=…) -> state.
+
+    Only shape-determining opt fields (bunchsize) key the memo —
+    lrate/momentum/weightcost are dynamic scalars in every engine, so the
+    recipe's per-epoch momentum ramp reuses ONE compiled runner.  The
+    returned runner's *defaults* are therefore whatever opt created it first;
+    epoch drivers must pass lrate/momentum/weightcost explicitly.
     """
     if engine == "auto":
         engine = "resident" if jax.default_backend() == "tpu" else "xla"
-    memo_key = (cfg, opt, engine, tuple(sorted(engine_kwargs.items())))
+    memo_key = (cfg, opt.bunchsize, engine, tuple(sorted(engine_kwargs.items())))
     if memo_key in _RUNNER_MEMO:
         return _RUNNER_MEMO[memo_key]
     if engine == "resident":
@@ -201,10 +207,12 @@ def train_epoch_pfile(
             rng, sub = jax.random.split(rng)
             n_real = n_samples // opt.bunchsize
             if resolved_engine == "resident":
-                state = run_chunk(state, x, t, sub, n_real=n_real)
+                state = run_chunk(state, x, t, sub, opt.lrate, opt.momentum,
+                                  opt.weightcost, n_real=n_real)
             else:  # xla engine: trim to real bunches (shape varies per chunk)
                 keep = n_real * opt.bunchsize
-                state = run_chunk(state, x[:keep], t[:keep], sub)
+                state = run_chunk(state, x[:keep], t[:keep], sub,
+                                  opt.lrate, opt.momentum, opt.weightcost)
             log.info(f"Starting chunk {i + 1} of {plan.total_chunks} "
                      f"containing {n_samples} samples.")
     else:
@@ -216,7 +224,8 @@ def train_epoch_pfile(
 
         for i, (indata, targ) in enumerate(Prefetcher(chunk_order, read, depth=2)):
             rng, sub = jax.random.split(rng)
-            state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub)
+            state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub,
+                              opt.lrate, opt.momentum, opt.weightcost)
             log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
 
     # CV phase (BPtrain.cc:61-87): unshuffled chunks, partial bunches included
