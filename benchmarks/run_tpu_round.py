@@ -33,12 +33,13 @@ def main() -> int:
     out_dir = os.path.join(REPO, "artifacts", "mc_full_r2")
     mc = MultiConditionConfig(
         out_dir=out_dir,
-        n_utts=240,
+        n_utts=800,     # distinct synthetic "speakers"
+        variants=2,     # noise x SNR conditions per clean utterance
         n_epochs=18,
         hidden=(2048, 2048, 2048),
         snrs=(-5.0, 0.0, 5.0, 10.0, 15.0, 20.0),
         noise_kinds=NOISE_KINDS,
-        ckpt_every=5,
+        ckpt_every=6,
     )
     res = run_multi_condition(mc)
     print(f"[round] mc_full_r2 done in {time.time() - t0:.0f}s; "

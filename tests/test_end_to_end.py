@@ -26,8 +26,12 @@ TARG_OFFSET = 1
 
 
 def _corpus_lps(n_utts, seed):
+    # style="simple": the single-template generator — these tests assert the
+    # TRAINING MACHINERY converges at toy scale, not corpus realism (the
+    # "rich" generator needs the full-size recipe to learn well)
     cleans, noisys = synth_corpus(seed, n_utts, sr=SR, min_s=1.0, max_s=2.0,
-                                  snrs=(0.0, 5.0), noise_kinds=("white",))
+                                  snrs=(0.0, 5.0), noise_kinds=("white",),
+                                  style="simple")
     clean_lps = [np.asarray(stft_logpower(jnp.asarray(c), CFG_STFT)) for c in cleans]
     noisy_lps = [np.asarray(stft_logpower(jnp.asarray(n), CFG_STFT)) for n in noisys]
     return cleans, noisys, clean_lps, noisy_lps
@@ -70,7 +74,7 @@ def test_cv_mse_decreases(trained):
 def test_enhancement_improves_quality(trained):
     state, mcfg, _, (mean, inv_std, t_mean, t_inv_std) = trained
     rng = np.random.default_rng(77)
-    clean = synth_speech(rng, 3 * SR, SR)
+    clean = synth_speech(rng, 3 * SR, SR, style="simple")
     noisy = mix_at_snr(clean, synth_noise(rng, 3 * SR, "white"), 2.5, rng)
     enh_cfg = EnhanceConfig(stft=CFG_STFT, fea_context=CONTEXT, targ_offset=TARG_OFFSET, nat=True)
     enh = enhance_waveform(state.params, mcfg, enh_cfg, noisy, mean, inv_std,

@@ -45,8 +45,10 @@ def test_mask_definitions():
 
 def test_irm_training_and_mask_decode():
     C, TO = 3, 1
+    # style="simple": toy-scale learnability of the mask head, not realism
     cleans, noisys = synth_corpus(0, 20, sr=SR, min_s=1.0, max_s=2.0,
-                                  snrs=(0.0, 5.0), noise_kinds=("white",))
+                                  snrs=(0.0, 5.0), noise_kinds=("white",),
+                                  style="simple")
     clps = [np.asarray(stft_logpower(jnp.asarray(c), CFG)) for c in cleans]
     nlps = [np.asarray(stft_logpower(jnp.asarray(n), CFG)) for n in noisys]
     irms = [irm_from_lps(c, n) for c, n in zip(clps, nlps)]
@@ -61,12 +63,12 @@ def test_irm_training_and_mask_decode():
                                 weightcost=0.0, bunchsize=128)
     ncv = len(x) // 10
     st, res = train_epochs_arrays(st, mcfg, sched, x[:-ncv], t[:-ncv], x[-ncv:], t[-ncv:],
-                                  n_epochs=10, seed=1, traincache=len(x),
+                                  n_epochs=16, seed=1, traincache=len(x),
                                   logger=Logger(stream=None))
     assert res[-1].cv_mse < 0.7 * res[0].cv_mse, (res[0].cv_mse, res[-1].cv_mse)
 
     rng = np.random.default_rng(9)
-    clean = synth_speech(rng, 3 * SR, SR)
+    clean = synth_speech(rng, 3 * SR, SR, style="simple")
     noisy = mix_at_snr(clean, synth_noise(rng, 3 * SR, "white"), 2.0, rng)
     ecfg = EnhanceConfig(stft=CFG, fea_context=C, targ_offset=TO, nat=True,
                          head="irm", mask_floor=0.05)

@@ -33,36 +33,144 @@ def mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float,
     return (clean + scale * noise).astype(np.float32)
 
 
-def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000) -> np.ndarray:
-    """Speech-like synthetic signal: broadband harmonic source (up to ~0.45*sr)
-    with drifting pitch, moving formant resonances, and noise-burst
-    "consonants" — enough spectral structure that the noisy->clean LPS mapping
-    is learnable across the whole band."""
-    t = np.arange(n_samples) / sr
+def _smooth(x: np.ndarray, n_win: int) -> np.ndarray:
+    if n_win <= 1:
+        return x
+    k = np.ones(n_win, np.float32) / n_win
+    return np.convolve(x, k, mode="same")
+
+
+def _synth_speech_simple(rng: np.random.Generator, n_samples: int,
+                         sr: int) -> np.ndarray:
+    """Single-template harmonic signal (narrow pitch range, two fixed formant
+    bands, no segmental structure): easy to learn at toy scale, used by unit
+    tests that assert the training machinery converges quickly."""
+    t = np.arange(n_samples, dtype=np.float32) / sr
     f0 = 110.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 2 * np.pi))
     phase = 2 * np.pi * np.cumsum(f0) / sr
-    sig = np.zeros(n_samples)
-    n_harm = int(0.45 * sr / 150.0)  # cover most of the band
-    # two moving formants impose a spectral envelope on the harmonics
+    sig = np.zeros(n_samples, np.float32)
+    n_harm = int(0.45 * sr / 150.0)
     fmt1 = 500.0 + 300.0 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t)
     fmt2 = 1800.0 + 700.0 * np.sin(2 * np.pi * rng.uniform(0.2, 0.8) * t + 1.0)
     for h in range(1, n_harm + 1):
-        fh = h * 130.0  # nominal harmonic frequency for envelope weighting
-        res = (
-            1.0 / (1.0 + ((fh - fmt1) / 300.0) ** 2)
-            + 0.7 / (1.0 + ((fh - fmt2) / 400.0) ** 2)
-            + 0.1
-        )
+        fh = h * 130.0
+        res = (1.0 / (1.0 + ((fh - fmt1) / 300.0) ** 2)
+               + 0.7 / (1.0 + ((fh - fmt2) / 400.0) ** 2) + 0.1)
         sig += (res / np.sqrt(h)) * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
-    # syllabic amplitude envelope
     env = 0.35 + 0.65 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t))
     sig = sig * env
-    # unvoiced bursts: high-passed noise gated by a sparse envelope
-    burst_env = np.clip(np.sin(2 * np.pi * rng.uniform(0.8, 1.6) * t + rng.uniform(0, 6)) - 0.8, 0, 1) * 5
-    noise = rng.standard_normal(n_samples)
-    noise = np.diff(noise, prepend=0.0)  # crude high-pass
-    sig += 0.6 * burst_env * noise * sig.std()
-    return (0.3 * sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
+    burst_env = np.clip(np.sin(2 * np.pi * rng.uniform(0.8, 1.6) * t
+                               + rng.uniform(0, 6)) - 0.8, 0, 1) * 5
+    noise = np.diff(rng.standard_normal(n_samples), prepend=0.0)
+    sig += 0.6 * burst_env * noise.astype(np.float32) * sig.std()
+    sig = 0.3 * sig / (np.abs(sig).max() + 1e-9)
+    return (sig + 5e-4 * rng.standard_normal(n_samples)).astype(np.float32)
+
+
+def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000,
+                 style: str = "rich") -> np.ndarray:
+    """Speech-like synthetic utterance, built to match real-speech LPS
+    statistics closely enough that models trained on it transfer to real
+    recordings (the enh_wav_example demo clips):
+
+    * per-utterance "speaker": pitch base drawn from the male/female range,
+      with a slow prosodic contour plus a jitter random walk;
+    * four formant resonances with independent slow trajectories (vowel
+      transitions), evaluated at the TRUE time-varying harmonic frequencies
+      h*f0(t), over a -6 dB/oct glottal+radiation source tilt;
+    * segmental structure: voiced / fricative / silence states with
+      phone-scale durations, 10 ms-smoothed transitions, syllabic amplitude
+      modulation, and occasional plosive bursts at segment onsets.
+
+    style="simple" selects the single-template generator (easy to learn at
+    toy scale; what fast unit tests train against).
+    """
+    if style == "simple":
+        return _synth_speech_simple(rng, n_samples, sr)
+    t = np.arange(n_samples, dtype=np.float32) / sr
+    # ---- voiced source: pitch track -------------------------------------
+    f0_base = rng.uniform(85.0, 250.0)
+    contour = (
+        1.0
+        + 0.16 * np.sin(2 * np.pi * rng.uniform(0.4, 1.2) * t + rng.uniform(0, 2 * np.pi))
+        + 0.07 * np.sin(2 * np.pi * rng.uniform(1.5, 3.0) * t + rng.uniform(0, 2 * np.pi))
+    )
+    walk = np.cumsum(rng.standard_normal(n_samples).astype(np.float32))
+    jitter = 1.0 + 0.02 * walk / (np.abs(walk).max() + 1e-9)
+    f0 = (f0_base * contour * jitter).astype(np.float32)
+    phase = (2 * np.pi * np.cumsum(f0) / sr).astype(np.float32)
+
+    # ---- formant tracks (F1..F4 within 8 kHz-band speech ranges) --------
+    def traj(lo: float, hi: float, r0: float, r1: float) -> np.ndarray:
+        x = np.sin(2 * np.pi * rng.uniform(r0, r1) * t + rng.uniform(0, 2 * np.pi))
+        x = x + 0.4 * np.sin(2 * np.pi * rng.uniform(r1, 2 * r1) * t + rng.uniform(0, 2 * np.pi))
+        x = x / (np.abs(x).max() + 1e-9)
+        return (lo + (hi - lo) * (0.5 + 0.5 * x)).astype(np.float32)
+
+    top = 0.48 * sr
+    fmts = [traj(280.0, 880.0, 0.5, 2.0), traj(850.0, min(2400.0, top), 0.4, 1.8),
+            traj(2150.0, min(3200.0, top), 0.3, 1.2)]
+    if top > 3400.0:
+        fmts.append(traj(3100.0, min(3900.0, top), 0.2, 0.8))
+    bws = (90.0, 130.0, 180.0, 240.0)
+    amps = (1.0, 0.6, 0.3, 0.18)
+
+    # ---- harmonics through the formant envelope (vectorized (H, n)) -----
+    n_harm = max(3, int(top / float(f0.min())))
+    h = np.arange(1, n_harm + 1, dtype=np.float32)[:, None]
+    fh = h * f0[None, :]  # true harmonic frequencies
+    env = np.full(fh.shape, 0.03, np.float32)
+    for fm, bw, am in zip(fmts, bws, amps):
+        env += am / (1.0 + ((fh - fm[None, :]) / bw) ** 2)
+    env *= (fh < top)  # no energy above Nyquist guard band
+    env /= h  # ~-6 dB/oct source+radiation tilt
+    ph0 = rng.uniform(0, 2 * np.pi, (n_harm, 1)).astype(np.float32)
+    voiced = np.sum(env * np.sin(h * phase[None, :] + ph0), axis=0)
+
+    # ---- fricative source: formant-ish shaped high band -----------------
+    wn = rng.standard_normal(n_samples).astype(np.float32)
+    hp = np.diff(wn, prepend=np.float32(0.0))  # +6 dB/oct tilt
+    fric = hp + 0.5 * _smooth(wn, 3)  # a little mid-band body
+
+    # ---- segmental state machine: voiced / fricative / silence ----------
+    voiced_env = np.zeros(n_samples, np.float32)
+    fric_env = np.zeros(n_samples, np.float32)
+    burst = np.zeros(n_samples, np.float32)
+    # leading silence, like real recordings: it is what makes the NAT
+    # noise estimate (mean of the first 6 frames, Interface.cc:776-779)
+    # an actual noise estimate once noise is mixed in
+    pos = int(rng.uniform(0.1, 0.25) * sr)
+    while pos < n_samples:
+        dur = int(rng.uniform(0.06, 0.35) * sr)
+        state = rng.choice(("v", "f", "s"), p=(0.62, 0.23, 0.15))
+        lvl = rng.uniform(0.5, 1.0)
+        if state == "v":
+            voiced_env[pos : pos + dur] = lvl
+        elif state == "f":
+            fric_env[pos : pos + dur] = lvl * 0.5
+            if rng.uniform() < 0.4 and pos + 80 < n_samples:  # plosive onset
+                blen = int(0.008 * sr)
+                burst[pos : pos + blen] = rng.uniform(1.0, 2.5)
+        pos += dur
+    n10ms = max(1, int(0.01 * sr))
+    voiced_env = _smooth(voiced_env, n10ms)
+    fric_env = _smooth(fric_env, n10ms)
+    # syllabic modulation on the voiced stream (3-7 Hz energy modulation,
+    # the modulation band STOI listens to)
+    syl = 0.45 + 0.55 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t
+                                      + rng.uniform(0, 2 * np.pi)))
+    sig = voiced * voiced_env * syl
+    vstd = float(sig.std()) + 1e-9
+    sig = sig + (fric_env + burst) * fric * (0.35 * vstd / (float(fric.std()) + 1e-9))
+    # guarantee audible content even for unlucky state draws
+    if float(sig.std()) < 1e-6:
+        sig = voiced * syl
+    sig = 0.3 * sig / (np.abs(sig).max() + 1e-9)
+    # recording-floor noise bed (~-55 dB re peak): real "clean" corpora have
+    # mic/room noise, never digital zero — keeps silence LPS targets off the
+    # log floor (log(1e-12)), which would otherwise dominate the regression
+    sig = sig + 5e-4 * rng.standard_normal(n_samples).astype(np.float32)
+    return sig.astype(np.float32)
 
 
 #: every synthetic noise family; NoiseX-92-flavored coverage of the stationary
@@ -122,15 +230,29 @@ def synth_corpus(
     max_s: float = 3.0,
     snrs: Tuple[float, ...] = (0.0, 5.0, 10.0),
     noise_kinds: Tuple[str, ...] = ("white", "pink"),
+    variants: int = 1,
+    len_quantum_s: float = 0.5,
+    style: str = "rich",
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """-> (clean_wavs, noisy_wavs): a tiny multi-condition training corpus."""
+    """-> (clean_wavs, noisy_wavs): a multi-condition training corpus.
+
+    variants: noisy mixes per clean utterance (the reference replicates each
+    clean TIMIT utterance under many noise x SNR conditions, README.md:13-24);
+    the clean list repeats accordingly, so zip(cleans, noisys) stays pairwise.
+    len_quantum_s: utterance lengths snap to this grid so downstream jitted
+    per-length programs (STFT featurization) compile for a handful of shapes
+    instead of one per utterance.
+    """
     rng = np.random.default_rng(seed)
     cleans, noisys = [], []
+    q = max(int(len_quantum_s * sr), 1)
     for _ in range(n_utts):
         n = int(rng.uniform(min_s, max_s) * sr)
-        c = synth_speech(rng, n, sr)
-        nz = synth_noise(rng, n, str(rng.choice(noise_kinds)))
-        snr = float(rng.choice(snrs))
-        cleans.append(c)
-        noisys.append(mix_at_snr(c, nz, snr, rng))
+        n = max(q, (n // q) * q)
+        c = synth_speech(rng, n, sr, style=style)
+        for _ in range(max(variants, 1)):
+            nz = synth_noise(rng, n, str(rng.choice(noise_kinds)))
+            snr = float(rng.choice(snrs))
+            cleans.append(c)
+            noisys.append(mix_at_snr(c, nz, snr, rng))
     return cleans, noisys

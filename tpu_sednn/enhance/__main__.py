@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--gv-ref", default=None,
                     help="text file of per-dim clean-LPS global variances "
                          "(one float per line; produce with enhance.compute_gv)")
+    ap.add_argument("--min-gain-db", type=float, default=None,
+                    help="cap per-bin suppression at this many dB below the "
+                         "noisy spectrum (lps head; bounds speech distortion)")
+    ap.add_argument("--max-gain-db", type=float, default=None,
+                    help="cap per-bin amplification over the noisy spectrum (dB)")
     ap.add_argument("--no-nat", action="store_true")
     ap.add_argument("--hidden", choices=["relu", "sigmoid"], default="relu")
     ap.add_argument("--visible-omit", type=float, default=0.0,
@@ -101,6 +106,7 @@ def main(argv=None) -> int:
             stft=cfg_stft, fea_context=args.context, targ_offset=args.targ_offset,
             nat=nat, head=args.head, mask_floor=args.mask_floor,
             mask_smooth=args.mask_smooth, gv_mode=args.gv_mode,
+            min_gain_db=args.min_gain_db, max_gain_db=args.max_gain_db,
         )
         y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
                              target_norm=target_norm, gv_ref=gv_ref)

@@ -41,6 +41,13 @@ class EnhanceConfig:
     # Global-variance equalization (the TASLP'15 post-processing the reference
     # README cites): "off" | "global" (one scalar alpha) | "per-dim".
     gv_mode: str = "off"
+    # lps-head gain limiting relative to the noisy spectrum (the spectral-floor
+    # post-processing standard in enhancement practice): bound the per-bin
+    # power gain out-noisy to [min_gain_db, max_gain_db].  A finite min_gain_db
+    # (e.g. -15) caps maximum suppression — it limits speech distortion from
+    # regression errors at the cost of residual noise.  None = off (parity).
+    min_gain_db: float | None = None
+    max_gain_db: float | None = None
 
 
 def _splice_jnp(lps: jnp.ndarray, context: int, targ_offset: int) -> jnp.ndarray:
@@ -91,8 +98,23 @@ def enhance_lps(
             if gv_ref is None:
                 raise ValueError("gv_mode != 'off' requires gv_ref (see compute_gv)")
             out = equalize_gv(out, gv_ref, enh_cfg.gv_mode)
-        return out
+        return limit_gain(out, noisy_lps, enh_cfg)
     return lps_from_mask(out, noisy_lps, enh_cfg)
+
+
+# LPS here is natural-log POWER: gain_db = 10*log10(e) * (out - noisy)
+_LN_PER_DB = float(np.log(10.0) / 10.0)
+
+
+def limit_gain(est_lps: jnp.ndarray, noisy_lps: jnp.ndarray,
+               enh_cfg: EnhanceConfig) -> jnp.ndarray:
+    """Clip the per-bin power gain (est - noisy) to the configured dB window."""
+    if enh_cfg.min_gain_db is None and enh_cfg.max_gain_db is None:
+        return est_lps
+    g = est_lps - noisy_lps
+    lo = None if enh_cfg.min_gain_db is None else enh_cfg.min_gain_db * _LN_PER_DB
+    hi = None if enh_cfg.max_gain_db is None else enh_cfg.max_gain_db * _LN_PER_DB
+    return noisy_lps + jnp.clip(g, lo, hi)
 
 
 def compute_gv(lps: jnp.ndarray) -> jnp.ndarray:

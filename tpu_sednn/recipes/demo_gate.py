@@ -169,7 +169,9 @@ def main(argv=None) -> int:
                                                   (context - 1) // 2),
                          nat=nat, head=head,
                          mask_floor=manifest.get("mask_floor", 0.0),
-                         gv_mode=gv_mode)
+                         gv_mode=gv_mode,
+                         min_gain_db=manifest.get("min_gain_db"),
+                         max_gain_db=manifest.get("max_gain_db"))
 
     res = evaluate_demo_clips(params, mcfg, ecfg, mean, inv_std,
                               target_norm=tn, gv_ref=gv, out_dir=run_dir)

@@ -27,6 +27,7 @@ class MultiConditionConfig:
     out_dir: str = "mc_run"
     sample_rate: int = 8000
     n_utts: int = 120
+    variants: int = 1  # noisy mixes per clean utterance (noise x SNR draws)
     snrs: Tuple[float, ...] = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
     noise_kinds: Tuple[str, ...] = ("white", "pink", "babble")
     fea_context: int = 11
@@ -46,6 +47,12 @@ class MultiConditionConfig:
     ibm_lc_db: float = 5.0  # IBM local criterion (the reference's LC5dB)
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
     gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
+    # decode-time spectral gain window (lps head): capping suppression at
+    # min_gain_db bounds speech distortion from regression errors on
+    # out-of-domain material (swept on the demo clips: -10 dB maximizes
+    # LSD gain at near-zero STOI cost); None disables
+    min_gain_db: Optional[float] = -10.0
+    max_gain_db: Optional[float] = 0.0
 
 
 def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = None) -> Dict:
@@ -78,7 +85,8 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     log.info(f"[mc] synthesizing {mc.n_utts} utts x {len(mc.snrs)} SNRs x "
              f"{len(mc.noise_kinds)} noises at {mc.sample_rate} Hz")
     cleans, noisys = synth_corpus(mc.seed, mc.n_utts, sr=mc.sample_rate,
-                                  snrs=mc.snrs, noise_kinds=mc.noise_kinds)
+                                  snrs=mc.snrs, noise_kinds=mc.noise_kinds,
+                                  variants=mc.variants)
     feat = jax.jit(lambda s: stft_lps_pallas(s, cfg_stft))
     clean_lps = [np.asarray(feat(jnp.asarray(c))) for c in cleans]
     noisy_lps = [np.asarray(feat(jnp.asarray(n))) for n in noisys]
@@ -207,13 +215,16 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
             "layersizes": list(sizes), "nat": True,
             "mask_floor": 0.05 if mask_head else 0.0,
             "target_norm": bool(target_norm),
+            "min_gain_db": mc.min_gain_db, "max_gain_db": mc.max_gain_db,
         }, f, indent=2)
 
     # 5. evaluate: held-out synthetic + the reference demo clips
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,
                             targ_offset=mc.targ_offset, nat=True,
                             head=mc.head, gv_mode=mc.gv_mode,
-                            mask_floor=0.05 if mask_head else 0.0)
+                            mask_floor=0.05 if mask_head else 0.0,
+                            min_gain_db=mc.min_gain_db,
+                            max_gain_db=mc.max_gain_db)
     tn = (t_mean, t_inv_std) if target_norm else None
     gv_arg = gv_ref if mc.gv_mode != "off" else None
     rng = np.random.default_rng(mc.seed + 99)
