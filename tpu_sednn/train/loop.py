@@ -232,6 +232,40 @@ def train_epoch_pfile(
     cv_plan = plan_chunks(fea_info.frames_before_sent, cv_sent_range, fea_context, traincache)
     sq_err = 0.0
     dump_f = open(cv_dump_path, "w") if cv_dump_path else None
+    if device_splice and dump_f is None and cv_plan.total_chunks > 0:
+        # CV over the same on-device splice path: raw 129-dim frames over the
+        # link instead of 1548-dim spliced samples (12x fewer bytes), padded
+        # to fixed capacities, garbage rows masked out of the error sum
+        from tpu_sednn.data.device_chunk import (
+            build_chunk_on_device, chunk_capacities, read_chunk_indexed,
+        )
+        from tpu_sednn.train.step import cv_squared_error_masked
+
+        cv_caps = chunk_capacities(fea_info, cv_plan, fea_context)
+
+        def read_cv(ci):
+            return read_chunk_indexed(
+                fea_info, targ_info, cv_plan, int(ci), fea_context, mean,
+                inv_std, None, frames_cap=cv_caps[0], samples_cap=cv_caps[1],
+                seg_cap=cv_caps[2],
+            )
+
+        for item in Prefetcher(range(cv_plan.total_chunks), read_cv, depth=2):
+            fea, targ, win_start, seg_id, seg_off, seg_len, n_samples = item
+            x, tt = build_chunk_on_device(
+                jnp.asarray(fea), jnp.asarray(targ), jnp.asarray(win_start),
+                jnp.asarray(seg_id), jnp.asarray(seg_off), jnp.asarray(seg_len),
+                fea_context, targ_offset, nat)
+            sq_err += float(cv_squared_error_masked(
+                state.params, x, tt, jnp.int32(n_samples), cfg))
+        cv_mse = sq_err / max(cv_plan.total_samples, 1)
+        dt = time.time() - t0
+        log.info(f"CV over. squared error: {cv_mse:f}")
+        log.info(f"Total cost time: {dt:.1f} s.")
+        return state, EpochResult(
+            epoch=-1, cv_mse=cv_mse, train_samples=plan.total_samples,
+            seconds=dt, samples_per_sec=plan.total_samples / max(dt, 1e-9),
+        )
     for ci in range(cv_plan.total_chunks):
         indata, targ = read_chunk_parity(
             fea_info, targ_info, cv_plan, ci, fea_context, targ_offset,

@@ -215,6 +215,17 @@ def cv_forward_and_sqerr(params: Params, x: jnp.ndarray, t: jnp.ndarray, cfg: Mo
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def cv_squared_error_masked(params: Params, x: jnp.ndarray, t: jnp.ndarray,
+                            n_valid: jnp.ndarray, cfg: ModelConfig):
+    """Squared error over the first n_valid rows of a capacity-padded CV
+    chunk (the device-splice path pads every chunk to fixed shapes so one
+    compiled program serves the epoch; padded rows hold garbage)."""
+    out = forward_eval(params, x, cfg)
+    mask = (jnp.arange(x.shape[0]) < n_valid)[:, None]
+    return jnp.sum(jnp.where(mask, (out - t) ** 2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def cv_squared_error(params: Params, x: jnp.ndarray, t: jnp.ndarray, cfg: ModelConfig):
     """Total squared error over a CV batch (the reference's CV metric).
 
