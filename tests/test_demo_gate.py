@@ -16,10 +16,11 @@ import pytest
 
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "demo_gate.json")
 
-# Tracked thresholds (set from the round-2 mc_full TPU run; see BASELINE.md).
-# lsd_gain > 0 means our enhanced output is closer (in log-spectral distance)
-# to the shipped SEDNN output than the raw noisy clip is.
-MIN_LSD_GAIN = {"test1": 0.5, "test2": 0.5, "test3": 0.5}
+# Tracked thresholds, set below the round-2 mc_full TPU run's measured gains
+# (test1 +4.00 / test2 +5.02 / test3 +5.20 dB; see BASELINE.md) with margin
+# for training jitter.  lsd_gain > 0 means our enhanced output is closer (in
+# log-spectral distance) to the shipped SEDNN output than the raw noisy clip.
+MIN_LSD_GAIN = {"test1": 2.5, "test2": 3.5, "test3": 3.5}
 MIN_STOI_GAIN = -0.05  # enhancement must not wreck intelligibility vs shipped
 
 
