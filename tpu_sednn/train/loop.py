@@ -192,17 +192,20 @@ def train_epoch_pfile(
                        // opt.bunchsize) * opt.bunchsize
 
         def read_idx(ci):
-            return read_chunk_indexed(
+            item = read_chunk_indexed(
                 fea_info, targ_info, plan, int(ci), fea_context, mean, inv_std,
                 rand, frames_cap=frames_cap, samples_cap=samples_cap,
                 seg_cap=seg_cap,
             )
+            # start the host->device copy from the prefetch worker so chunk
+            # k+1's transfer rides under chunk k's dispatch/compute — on the
+            # bandwidth-limited relay the epoch is transfer-bound
+            return tuple(jax.device_put(a) for a in item[:6]) + (item[6],)
 
         for i, item in enumerate(Prefetcher(chunk_order, read_idx, depth=2)):
             fea, targ, win_start, seg_id, seg_off, seg_len, n_samples = item
             x, t = build_chunk_on_device(
-                jnp.asarray(fea), jnp.asarray(targ), jnp.asarray(win_start),
-                jnp.asarray(seg_id), jnp.asarray(seg_off), jnp.asarray(seg_len),
+                fea, targ, win_start, seg_id, seg_off, seg_len,
                 fea_context, targ_offset, nat)
             rng, sub = jax.random.split(rng)
             n_real = n_samples // opt.bunchsize
