@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "demo_gate.json")
+ART_16K = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "demo_gate_16k.json")
 
 # Tracked thresholds, set below the round-2 mc_full TPU run's measured gains
 # (test1 +4.00 / test2 +5.02 / test3 +5.20 dB; see BASELINE.md) with margin
@@ -57,4 +59,20 @@ def test_demo_gate_tracked_thresholds():
         assert m["lsd_gain"] >= min_gain, (
             f"{name}: lsd_gain {m['lsd_gain']} < tracked {min_gain} — "
             "enhanced output regressed vs the shipped SEDNN reference")
+        assert m["stoi_gain"] >= MIN_STOI_GAIN, (name, m["stoi_gain"])
+
+
+# 16 kHz full-band variant (benchmarks/run_16k_full.py): gates the clips at
+# their NATIVE rate.  Measured +3.41/+4.12/+6.45 dB; thresholds with margin.
+MIN_LSD_GAIN_16K = {"test1": 2.0, "test2": 2.5, "test3": 4.0}
+
+
+def test_demo_gate_16k_tracked_thresholds():
+    if not os.path.exists(ART_16K):
+        pytest.skip("artifacts/demo_gate_16k.json not yet produced (TPU run)")
+    res = json.load(open(ART_16K))
+    for name, min_gain in MIN_LSD_GAIN_16K.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
         assert m["stoi_gain"] >= MIN_STOI_GAIN, (name, m["stoi_gain"])
