@@ -99,7 +99,10 @@ def enhance_lps(
                 raise ValueError("gv_mode != 'off' requires gv_ref (see compute_gv)")
             out = equalize_gv(out, gv_ref, enh_cfg.gv_mode)
         return limit_gain(out, noisy_lps, enh_cfg)
-    return lps_from_mask(out, noisy_lps, enh_cfg)
+    # mask heads: the mask itself bounds gain to [2*ln(mask_floor), 0]; the
+    # configured dB window still applies on top so decode behavior is
+    # uniform across heads
+    return limit_gain(lps_from_mask(out, noisy_lps, enh_cfg), noisy_lps, enh_cfg)
 
 
 # LPS here is natural-log POWER: gain_db = 10*log10(e) * (out - noisy)

@@ -61,7 +61,7 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
     from tpu_sednn.dsp import stft_logpower
     from tpu_sednn.enhance.decode import enhance_waveform
     from tpu_sednn.io import read_wav, write_wav
-    from tpu_sednn.metrics import lsd, seg_snr, stoi
+    from tpu_sednn.metrics import lsd, pesq, seg_snr, stoi
 
     sr = enh_cfg.stft.sample_rate
 
@@ -95,11 +95,16 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
             "stoi_shipped_vs_ours": stoi(shipped, ours, sr),
             "segsnr_shipped_vs_noisy": seg_snr(shipped, noisy, sr),
             "segsnr_shipped_vs_ours": seg_snr(shipped, ours, sr),
+            # PESQ-estimator proximity (in-repo P.862-style estimator, see
+            # metrics/pesq.py — self-consistent across rounds, not ITU-certified)
+            "pesq_shipped_vs_noisy": pesq(shipped, noisy, sr),
+            "pesq_shipped_vs_ours": pesq(shipped, ours, sr),
             "finite": bool(np.isfinite(ours).all()),
         }
         m["lsd_gain"] = m["lsd_noisy_vs_shipped"] - m["lsd_ours_vs_shipped"]
         m["stoi_gain"] = m["stoi_shipped_vs_ours"] - m["stoi_shipped_vs_noisy"]
         m["segsnr_gain"] = m["segsnr_shipped_vs_ours"] - m["segsnr_shipped_vs_noisy"]
+        m["pesq_gain"] = m["pesq_shipped_vs_ours"] - m["pesq_shipped_vs_noisy"]
         results[name] = {k: (round(float(v), 4) if not isinstance(v, bool) else v)
                          for k, v in m.items()}
     if missing:
