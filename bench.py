@@ -295,7 +295,26 @@ def main():
         "step_ms": round(parity["step_ms"], 3),
         "decode_audio_s_per_s": round(decode["audio_s_per_s"], 1),
         "dropout_check": dropout_check,
+        "demo_gate": _demo_gate_summary(),
     }))
+
+
+def _demo_gate_summary():
+    """Quality summary from the tracked demo-gate artifacts (produced by the
+    full multi-condition TPU runs; see BASELINE.md) so the round's bench
+    record carries the quality gate next to the throughput number."""
+    out = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tag, fn in (("lps", "demo_gate.json"), ("irm", "demo_gate_irm.json"),
+                    ("16k", "demo_gate_16k.json")):
+        p = os.path.join(here, "artifacts", fn)
+        if not os.path.exists(p):
+            continue
+        d = json.load(open(p))
+        gains = [d[k]["lsd_gain"] for k in ("test1", "test2", "test3") if k in d]
+        out[tag] = {"pass": d.get("pass"),
+                    "min_lsd_gain_db": round(min(gains), 2) if gains else None}
+    return out
 
 
 if __name__ == "__main__":

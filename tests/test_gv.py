@@ -82,3 +82,27 @@ def test_enhance_lps_requires_gv_ref_and_applies_it():
 def test_gv_unknown_mode_raises():
     with pytest.raises(ValueError, match="gv mode"):
         equalize_gv(jnp.ones((4, 2)), jnp.ones((2,)), "nope")
+
+
+def test_gain_window_clips_suppression_and_amplification():
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance.decode import EnhanceConfig, limit_gain
+
+    stft = StftConfig.for_rate(8000)
+    rng = np.random.default_rng(7)
+    noisy = jnp.asarray(rng.standard_normal((30, 129)).astype(np.float32))
+    est = noisy + jnp.asarray(
+        rng.uniform(-12.0, 12.0, (30, 129)).astype(np.float32))  # ln power
+    cfg = EnhanceConfig(stft=stft, min_gain_db=-10.0, max_gain_db=0.0)
+    out = np.asarray(limit_gain(est, noisy, cfg))
+    gain_db = (out - np.asarray(noisy)) * 10.0 / np.log(10.0)
+    assert gain_db.min() >= -10.0 - 1e-4
+    assert gain_db.max() <= 0.0 + 1e-4
+    # inside the window the estimate is untouched
+    inside = (np.asarray(est - noisy) * 10.0 / np.log(10.0) > -10.0) & (
+        np.asarray(est - noisy) < 0.0)
+    np.testing.assert_allclose(out[inside], np.asarray(est)[inside], rtol=1e-6)
+    # window off = identity
+    off = EnhanceConfig(stft=stft)
+    np.testing.assert_array_equal(np.asarray(limit_gain(est, noisy, off)),
+                                  np.asarray(est))
