@@ -19,6 +19,7 @@ import sys
 def main() -> None:
     pid, nproc, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "arrays"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -32,6 +33,10 @@ def main() -> None:
                            num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 2 * nproc, jax.device_count()
+
+    if mode == "pfile":
+        _pfile_epoch(pid, nproc, outdir, sys.argv[6])
+        return
 
     import numpy as np
     import jax.numpy as jnp
@@ -82,6 +87,47 @@ def main() -> None:
         np.savez(os.path.join(outdir, "multihost_params.npz"), **out)
     print(f"[worker {pid}] OK step={int(state.step.addressable_data(0))}",
           flush=True)
+
+
+
+def _pfile_epoch(pid: int, nproc: int, outdir: str, datadir: str) -> None:
+    """Multi-host pfile epoch (SURVEY §2.3 / §7 step 6): the PRODUCTION
+    `train_epoch_pfile` runs under jax.distributed with the per-host sharded
+    input pipeline — every process reads the pfiles (the parity lrand48
+    stream must advance identically), bunch_part-regroups on the host, and
+    transfers only the rows its own devices shard (make_global_chunk)."""
+    import numpy as np
+    import jax
+
+    from tpu_sednn.data.rand48 import Rand48
+    from tpu_sednn.model import ModelConfig, init_params
+    from tpu_sednn.train import init_train_state
+    from tpu_sednn.train.loop import train_epoch_pfile
+    from tpu_sednn.train.step import OptConfig
+
+    D, CONTEXT, TO = 5, 3, 1
+    sizes = (D * CONTEXT + D, 64, D)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.3, momentum=0.5, weightcost=1e-4, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, scheme="glorot")
+    state = init_train_state(params)
+
+    state, res = train_epoch_pfile(
+        state, cfg, opt,
+        fea_file=os.path.join(datadir, "f.pfile"),
+        targ_file=os.path.join(datadir, "t.pfile"),
+        norm_file=os.path.join(datadir, "a.norm"),
+        fea_dim=D, fea_context=CONTEXT, targ_offset=TO,
+        train_sent_range=(0, 5), cv_sent_range=(6, 7),
+        traincache=96, seed=3, rand=Rand48(3),
+        n_data_shards=jax.device_count(), engine="xla",
+    )
+    if pid == 0:
+        out = {f"w{l}": np.asarray(w.addressable_data(0))
+               for l, w in enumerate(state.params["w"])}
+        out["cv_mse"] = np.float64(res.cv_mse)
+        np.savez(os.path.join(outdir, "multihost_pfile.npz"), **out)
+    print(f"[worker {pid}] OK cv={res.cv_mse:.6f}", flush=True)
 
 
 if __name__ == "__main__":

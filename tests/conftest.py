@@ -14,6 +14,11 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# xla::DefaultThreadPoolSize() honors NPROC: the CPU client's execution pool
+# must be able to run 8 blocking partitions concurrently (the pallas TPU
+# interpret simulator parks one thread per simulated device inside in-kernel
+# semaphore waits; a cpu_count-sized pool deadlocks the 8-way butterfly)
+os.environ.setdefault("NPROC", "24")
 
 import jax
 

@@ -144,8 +144,14 @@ def test_epoch_driver_resident_engine():
     from tpu_sednn.train.loop import make_chunk_runner
     assert jax.default_backend() == "cpu"
     run = make_chunk_runner(cfg, opt, "auto")
+    # hyperparameters are REQUIRED (the runner memo ignores opt's dynamic
+    # fields, so signature defaults would silently come from the first
+    # creator — ADVICE r2: default-reliant calls must fail loudly)
+    with pytest.raises(TypeError):
+        run(init_train_state(params), jnp.asarray(x[:32]), jnp.asarray(t[:32]),
+            jax.random.key(0))
     st = run(init_train_state(params), jnp.asarray(x[:32]), jnp.asarray(t[:32]),
-             jax.random.key(0))
+             jax.random.key(0), opt.lrate, opt.momentum, opt.weightcost)
     assert int(st.step) == 2
 
 
@@ -210,3 +216,182 @@ def test_dp_resident_validates_mesh():
     mesh = make_mesh(n_data=3, n_model=1)
     with pytest.raises(ValueError, match="power of two"):
         make_dp_resident_train_chunk(cfg, OptConfig(bunchsize=48), mesh)
+
+
+def test_dp_resident_8way_butterfly_matches_single_chip():
+    """All THREE butterfly steps (incl. the cross-quad exchange k=2, the
+    analog of BP_GPU.cu:863-874's farthest hop) actually execute: 8 simulated
+    devices, each parking a blocking interpret thread in the CPU client pool
+    (sized via NPROC in conftest — a default pool deadlocks this test)."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.5, momentum=0.6, weightcost=1e-4, bunchsize=64)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((128, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((128, sizes[-1])), jnp.float32)
+
+    st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)(
+        init_train_state(params), x, t, jnp.int32(7))
+    mesh = make_mesh(n_data=8, n_model=1)
+    st0 = init_train_state(replicate(params, mesh))
+    run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                       bf16=False)
+    st2 = run(st0, x, t, jnp.int32(7))
+    assert int(st2.step) == int(st1.step) == 2
+    np.testing.assert_allclose(np.asarray(st2.params["w"][0]),
+                               np.asarray(st1.params["w"][0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.deltas["b"][0]),
+                               np.asarray(st1.deltas["b"][0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_resident_dropout_device_count_invariant():
+    """Dropout-on DP resident: every device draws the GLOBAL bunch's mask
+    from the shared (seed, bunch, layer) stream and slices its own rows, so
+    results are identical across device counts.  (The interpret PRNG is
+    degenerate — real-bit slice identity is validated on TPU by bench.py's
+    dp_dropout check — but this exercises the full dropout-on DP lowering
+    incl. the in-kernel row slice.)"""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes, dropout_vis=0.1, dropout_hid=0.2,
+                      dropout_mode="parity")
+    opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((64, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((64, sizes[-1])), jnp.float32)
+
+    states = {}
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                           bf16=False)
+        st = run(init_train_state(replicate(params, mesh)), x, t, jnp.int32(5))
+        states[n_dev] = st
+        assert int(st.step) == 2
+    for l in range(len(sizes) - 1):
+        np.testing.assert_allclose(np.asarray(states[2].params["w"][l]),
+                                   np.asarray(states[4].params["w"][l]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_dp_resident_n_real_padding():
+    """The DP runner honors a dynamic n_real on capacity-padded chunks (the
+    device-splice contract): padded garbage bunches must not touch state."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.4, momentum=0.5, weightcost=0.0, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((96, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((96, sizes[-1])), jnp.float32)
+    mesh = make_mesh(n_data=2, n_model=1)
+    run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                       bf16=False)
+    # pad with NaN garbage beyond 2 real bunches; n_real must fence it off
+    x_pad = jnp.concatenate([x[:64], jnp.full((32, sizes[0]), jnp.nan)])
+    t_pad = jnp.concatenate([t[:64], jnp.full((32, sizes[-1]), jnp.nan)])
+    st_pad = run(init_train_state(replicate(params, mesh)), x_pad, t_pad,
+                 jnp.int32(9), n_real=2)
+    st_ref = run(init_train_state(replicate(params, mesh)), x[:64], t[:64],
+                 jnp.int32(9))
+    assert int(st_pad.step) == int(st_ref.step) == 2
+    np.testing.assert_array_equal(np.asarray(st_pad.params["w"][0]),
+                                  np.asarray(st_ref.params["w"][0]))
+
+
+def test_pfile_epoch_dp_resident_production_path():
+    """VERDICT r2 item 1(a): the production pfile driver routes
+    n_data_shards>1 + engine=resident through the DP resident megakernel and
+    matches the single-shard XLA engine exactly (dropout off, fp32)."""
+    import os as _os
+
+    from tpu_sednn.data.rand48 import Rand48
+    from tpu_sednn.io import compute_norm, save_norm, write_pfile
+    from tpu_sednn.train.loop import train_epoch_pfile
+
+    import tempfile
+
+    D, CONTEXT, TO = 5, 3, 1
+    sizes = (D * CONTEXT + D, 128, D)
+    rng = np.random.default_rng(0)
+    utts = [rng.standard_normal((int(rng.integers(30, 60)), D)).astype(np.float32)
+            for _ in range(8)]
+    targs = [np.tanh(u @ rng.standard_normal((D, D)).astype(np.float32) * 0.4)
+             for u in utts]
+    with tempfile.TemporaryDirectory() as tmp:
+        fp, tp, npth = (_os.path.join(tmp, n)
+                        for n in ("f.pfile", "t.pfile", "a.norm"))
+        write_pfile(fp, utts)
+        write_pfile(tp, targs)
+        mean, istd = compute_norm(np.concatenate(utts))
+        save_norm(npth, mean, istd)
+
+        cfg = ModelConfig(layersizes=sizes)
+        opt = OptConfig(lrate=0.3, momentum=0.5, weightcost=0.0, bunchsize=32)
+        params = init_params(jax.random.key(0), cfg, "glorot")
+        kw = dict(
+            fea_file=fp, targ_file=tp, norm_file=npth, fea_dim=D,
+            fea_context=CONTEXT, targ_offset=TO, train_sent_range=(0, 5),
+            cv_sent_range=(6, 7), traincache=128, seed=3,
+        )
+        st_ref, res_ref = train_epoch_pfile(
+            init_train_state(params), cfg, opt, rand=Rand48(3),
+            engine="xla", **kw)
+        st_dp, res_dp = train_epoch_pfile(
+            init_train_state(params), cfg, opt, rand=Rand48(3),
+            n_data_shards=2, engine="resident",
+            engine_kwargs={"interpret": True, "bf16": False}, **kw)
+        assert res_dp.cv_mse == pytest.approx(res_ref.cv_mse, rel=1e-5)
+        np.testing.assert_allclose(np.asarray(st_dp.params["w"][0]),
+                                   np.asarray(st_ref.params["w"][0]),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sample_resident_masks_dp_slices():
+    """sample_resident_masks returns device d's rows of the GLOBAL mask —
+    shape contract for the bench-side TPU validation (real-bit identity is
+    asserted there; interpret bits are degenerate)."""
+    from tpu_sednn.ops.resident_chunk import sample_resident_masks
+
+    full = np.asarray(sample_resident_masks(99, 2, 1, (32, 256), 0.2,
+                                            interpret=True))
+    assert full.shape == (32, 256)
+    for d in range(2):
+        part = np.asarray(sample_resident_masks(99, 2, 1, (32, 256), 0.2,
+                                                device_idx=d, n_dev=2,
+                                                interpret=True))
+        assert part.shape == (16, 256)
+        np.testing.assert_array_equal(part, full[d * 16:(d + 1) * 16])
+
+
+def test_resident_dedy_full_variant_matches():
+    """dedy_full=True (one full-width backprop dot instead of per-row-block
+    parts + concat) is mathematically identical."""
+    sizes = (128, 256, 256, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.5, momentum=0.6, weightcost=1e-4, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((48, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((48, sizes[-1])), jnp.float32)
+    st_a = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)(
+        init_train_state(params), x, t, jnp.int32(7))
+    st_b = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                     dedy_full=True)(
+        init_train_state(params), x, t, jnp.int32(7))
+    for l in range(len(sizes) - 1):
+        np.testing.assert_allclose(np.asarray(st_b.params["w"][l]),
+                                   np.asarray(st_a.params["w"][l]),
+                                   rtol=1e-6, atol=1e-7)

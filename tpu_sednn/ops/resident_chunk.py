@@ -45,10 +45,10 @@ from tpu_sednn.ops.fused_mlp import _dot
 from tpu_sednn.ops.train_step import _pad_state, _round_up, _unpad_state
 from tpu_sednn.train.step import OptConfig, TrainState
 
-# seed strides: distinct PRNG streams per (bunch, layer[, device]) mask
+# seed strides: distinct PRNG streams per (bunch, layer) mask.  DP devices
+# share the stream (global-bunch mask, sliced per device) — invariant contract
 _BUNCH_STRIDE = 7919
 _LAYER_STRIDE = 104729
-_DEVICE_STRIDE = 15485863
 
 
 def _row_blocks(dim: int):
@@ -75,7 +75,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      dropout: tuple, dropout_mode: str, valid_sizes,
                      bf16: bool, sr_state: bool,
                      axis_name: str | None = None, n_dev: int = 1,
-                     grad_n: int | None = None):
+                     grad_n: int | None = None, dedy_full: bool = False):
     # ref layout: scal, seed, x, t, w[L], d[L], b[L], db[L] |
     #             w_out[L], d_out[L], b_out[L], db_out[L] |
     #             Ws[L], Ds[L], Bs[L], DBs[L], sem
@@ -174,13 +174,20 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
         for l in range(L):
             omit = dropout[0] if l == 0 else dropout[1]
             if omit > 0.0:
-                # DP: distinct stream per device slice (device-count-VARIANT,
-                # unlike the XLA DP path's sliced global masks — documented)
-                dev_off = my_id * _DEVICE_STRIDE if n_dev > 1 else 0
-                pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE
-                                + dev_off)
-                bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+                # Device-count-INVARIANT masks (same contract as the XLA DP
+                # path, parallel/mesh.py:95): every device seeds the hw PRNG
+                # identically per (seed, bunch, layer), draws the GLOBAL
+                # bunch's mask, and slices its own bunch_part rows — so the
+                # DP mask streams are exactly the single-chip streams split
+                # by row, for any power-of-two device count.
+                pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE)
+                g_rows = grad_n if n_dev > 1 else bunch  # global bunch rows
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((g_rows, h.shape[1])), jnp.uint32)
                 mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
+                if n_dev > 1:  # my rows: sublane-aligned (bunch % 8 == 0)
+                    mask = jax.lax.dynamic_slice_in_dim(
+                        mask, my_id * bunch, bunch, 0)
                 h = h * mask
                 if dropout_mode == "inverted":
                     h = h * jnp.float32(1.0 / (1.0 - omit))
@@ -211,11 +218,17 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             # momentum update; the (rb, N) gradient temporary stays bounded.
             if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
                 pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
+            if dedy_full and l > 0:
+                # one (bunch, M) MXU dot against the full PRE-update W —
+                # mathematically identical to the per-block parts (the N
+                # contraction is elementwise-independent of row blocking) but
+                # avoids the relayout of the (bunch, rb) concat below
+                dedy = _dot(dedx, Ws[l][:], bf16, transpose=1)
             dedy_parts = []
             for r0, rb in _row_blocks(sizes[l]):
                 r1 = r0 + rb
                 w_blk = Ws[l][r0:r1, :]
-                if l > 0:
+                if l > 0 and not dedy_full:
                     dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
                 g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
                 g = _allreduce(g)  # DP: sum local-slice gradients over devices
@@ -233,7 +246,8 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 else:
                     Ds[l][r0:r1, :] = nd
                     Ws[l][r0:r1, :] = w32 + nd
-            dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
+            if not dedy_full:
+                dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
 
             gb = jnp.sum(dedx, axis=0, keepdims=True)
             if n_dev > 1:  # pad to a sublane-aligned (8, N) block for the DMA
@@ -264,7 +278,7 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    hidden: str, output: str, dropout, dropout_mode: str,
                    valid_sizes, bf16: bool, sr_state: bool, interpret: bool,
                    axis_name: str | None = None, n_dev: int = 1,
-                   grad_n: int | None = None):
+                   grad_n: int | None = None, dedy_full: bool = False):
     L = len(ws)
     n_bunches = x.shape[0] // bunch
     kern = functools.partial(
@@ -272,7 +286,7 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         n_bunches=n_bunches, hidden=hidden, output=output,
         dropout=tuple(dropout), dropout_mode=dropout_mode,
         valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state,
-        axis_name=axis_name, n_dev=n_dev, grad_n=grad_n)
+        axis_name=axis_name, n_dev=n_dev, grad_n=grad_n, dedy_full=dedy_full)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = (
@@ -345,7 +359,8 @@ def _scal_coefs(rule: str, grad_n: int, out_dim: int, lrate, momentum, weightcos
 
 def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
                               interpret: bool = False, bf16: bool = True,
-                              rule: str = "parity", sr_state: bool = False):
+                              rule: str = "parity", sr_state: bool = False,
+                              dedy_full: bool = False):
     """jit chunk trainer: whole chunk, VMEM-resident state, one pallas_call.
 
     Same contract as train.step.make_jit_train_chunk / make_pallas_train_chunk
@@ -399,7 +414,8 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
             x, t, list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
             scal, seed_arr, sizes=padded, bunch=bunch, hidden=cfg.hidden,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
-            valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret)
+            valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret,
+            dedy_full=dedy_full)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
@@ -414,7 +430,8 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
 
 def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                                  interpret: bool = False, bf16: bool = True,
-                                 rule: str = "parity"):
+                                 rule: str = "parity", dedy_full: bool = False,
+                                 pre_grouped: bool = False):
     """Data-parallel VMEM-resident chunk trainer: the headline megakernel
     scaled over a 1-D ("data",) mesh WITHOUT giving up residency.
 
@@ -439,8 +456,11 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
 
     Exactness: with dropout off this matches the single-chip resident kernel
     to fp reduction order (tested in interpret mode on the 8-device CPU
-    mesh).  With dropout on, each device draws its own hw-PRNG mask stream
-    (device-count-VARIANT, unlike the XLA DP path's sliced global masks).
+    mesh).  With dropout on, every device draws the GLOBAL bunch's hw-PRNG
+    mask from the shared (seed, bunch, layer) stream and slices its own
+    bunch_part rows — device-count-INVARIANT, the same contract as the XLA
+    DP path (parallel/mesh.py:95) and identical to the single-chip resident
+    mask streams.
     """
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -468,7 +488,7 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
             dropout=(cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0),
             dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
             sr_state=False, interpret=interpret,
-            axis_name="data", n_dev=n_dev, grad_n=bunch)
+            axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full)
 
     sharded = shard_map(
         shard_fn,
@@ -480,7 +500,11 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
-            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost):
+            lrate=opt.lrate, momentum=opt.momentum, weightcost=opt.weightcost,
+            n_real=None):
+        """n_real: optional dynamic count of REAL bunches when `in_chunk` is
+        padded to a fixed capacity (same contract as the single-chip resident
+        runner); grid steps beyond it are no-ops on every device."""
         n_bunches = in_chunk.shape[0] // bunch
         if n_bunches == 0:
             return state
@@ -492,7 +516,13 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
         def regroup(a):
             # bunch_part row split (BP_GPU.cu:29-37): device d's b-th local
             # slice = rows [b*bunch + d*bs_local, ...) of the chunk, so the
-            # global bunches match the single-chip order exactly
+            # global bunches match the single-chip order exactly.
+            # pre_grouped: the caller (multi-process input pipeline) already
+            # regrouped on the host and built a P("data")-sharded global
+            # array — just pin the sharding.
+            if pre_grouped:
+                return jax.lax.with_sharding_constraint(
+                    a[: n_bunches * bunch], NamedSharding(mesh, P("data")))
             d = a.shape[1]
             a = a[: n_bunches * bunch]
             a = a.reshape(n_bunches, n_dev, bs_local, d)
@@ -501,8 +531,9 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                 a, NamedSharding(mesh, P("data")))
 
         scal = _scal_coefs(rule, bunch, sizes[-1], lrate, momentum, weightcost)
+        nr = n_bunches if n_real is None else n_real
         seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
-                              jnp.asarray(n_bunches, jnp.int32)])
+                              jnp.asarray(nr, jnp.int32)])
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
         ws, ds, bs_o, dbs_o = sharded(
@@ -511,7 +542,7 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs_o)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs_o)},
-            step=state.step + n_bunches,
+            step=state.step + jnp.asarray(nr, jnp.int32),
         )
         if needs_pad:
             new = _unpad_state(new, sizes)
@@ -524,24 +555,36 @@ def sample_resident_masks(seed: int, bunch_idx: int, layer_idx: int,
                           shape, omit: float, device_idx: int = 0,
                           n_dev: int = 1, interpret: bool = False):
     """The exact dropout mask the resident kernel draws for (seed, bunch,
-    layer[, device]) — same prng_seed formula and threshold — exposed as a
-    standalone pallas_call so bench.py can validate mask statistics
-    (zero-rate, stream collisions) on real TPU hardware (VERDICT r1 item 7).
+    layer) — same prng_seed formula, threshold, and DP row-slicing — exposed
+    as a standalone pallas_call so bench.py can validate mask statistics
+    (zero-rate, stream collisions, DP slice identity) on real TPU hardware.
+
+    `shape` is the GLOBAL bunch mask shape; with n_dev > 1 the returned mask
+    is device `device_idx`'s rows [d*bs_local, (d+1)*bs_local) of it — the
+    device-count-invariant contract shared with parallel/mesh.py:95.
     """
-    dev_off = device_idx * _DEVICE_STRIDE if n_dev > 1 else 0
     kseed = jnp.asarray(
-        seed + bunch_idx * _BUNCH_STRIDE + layer_idx * _LAYER_STRIDE + dev_off,
+        seed + bunch_idx * _BUNCH_STRIDE + layer_idx * _LAYER_STRIDE,
         jnp.int32).reshape(1)
+    g_rows, width = int(shape[0]), int(shape[1])
+    if g_rows % n_dev:
+        raise ValueError(f"global rows {g_rows} not divisible by n_dev {n_dev}")
+    bs_local = g_rows // n_dev
 
     def kern(seed_ref, o_ref):
         pltpu.prng_seed(seed_ref[0])
-        bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
-        o_ref[:] = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((g_rows, width)), jnp.uint32)
+        mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
+        if n_dev > 1:
+            mask = jax.lax.dynamic_slice_in_dim(mask, device_idx * bs_local,
+                                                bs_local, 0)
+        o_ref[:] = mask
 
     return pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(tuple(shape), jnp.float32),
-        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((bs_local, width), jnp.float32),
+        # mosaic interpret (not the HLO interpreter): prng_seed needs it
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(kseed)

@@ -5,4 +5,6 @@ from tpu_sednn.parallel.mesh import (
     make_dp_train_chunk,
     make_auto_sharded_train_chunk,
     initialize_distributed,
+    bunch_part_regroup_host,
+    make_global_chunk,
 )

@@ -52,7 +52,19 @@ def shard_batch(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    """Fully-replicated device_put; multi-process safe (every process must
+    hold the same host values — true for seed-deterministic init/restore)."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    import jax.numpy as jnp
+
+    def rep(a):
+        h = np.asarray(a)
+        return jax.make_array_from_callback(h.shape, sharding,
+                                            lambda idx: jnp.asarray(h[idx]))
+
+    return jax.tree.map(rep, tree)
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -70,11 +82,40 @@ def initialize_distributed(coordinator: Optional[str] = None,
         pass  # already initialized or single-process launch
 
 
+def bunch_part_regroup_host(a: np.ndarray, bunchsize: int, n_dev: int) -> np.ndarray:
+    """Host (NumPy) twin of the in-jit bunch_part regroup: device d's b-th
+    local slice = rows [b*bunchsize + d*bs_local, ...) of the chunk
+    (BP_GPU.cu:29-37), so global bunches match single-chip order exactly.
+    Used by the multi-process input pipeline, which must regroup BEFORE
+    sharding rows across processes."""
+    n_bunches = len(a) // bunchsize
+    bs_local = bunchsize // n_dev
+    a = np.ascontiguousarray(a[: n_bunches * bunchsize])
+    return (a.reshape(n_bunches, n_dev, bs_local, a.shape[1])
+             .transpose(1, 0, 2, 3)
+             .reshape(n_dev * n_bunches * bs_local, a.shape[1]))
+
+
+def make_global_chunk(a: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Build the global P("data")-sharded chunk array, materializing ONLY the
+    shards owned by this process's devices (each host transfers 1/n_proc of
+    the rows — the per-host sharded input pipeline for multi-host DP).
+    Single-process: a plain sharded device_put."""
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.device_put(a, sharding)
+    import jax.numpy as jnp
+
+    return jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: jnp.asarray(a[idx]))
+
+
 # ---------------------------------------------------------------------------
 # explicit-DP chunk trainer (shard_map + psum)
 # ---------------------------------------------------------------------------
 
-def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
+def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh,
+                        pre_grouped: bool = False):
     """DP chunk trainer: each device scans its local bunch slices; per-bunch
     gradients are psum'd over the "data" axis before the (replicated) update.
 
@@ -82,6 +123,10 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
     GLOBAL bunch size, so the psum of local gradients equals the single-chip
     gradient exactly (sum grads, one update, identical replicas — the
     reference's multi-GPU design, BP_GPU.cu:863-884).
+
+    pre_grouped: chunk rows arrive already bunch_part-regrouped and
+    P("data")-sharded (the multi-process input pipeline regroups on the
+    host); skip the in-jit regroup.
     """
     n_dev = mesh.shape["data"]
     if opt.bunchsize % n_dev != 0:
@@ -172,6 +217,9 @@ def make_dp_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh: Mesh):
             return state
 
         def regroup(a):
+            if pre_grouped:
+                return jax.lax.with_sharding_constraint(
+                    a[: n_bunches * opt.bunchsize], NamedSharding(mesh, P("data")))
             d = a.shape[1]
             a = a[: n_bunches * opt.bunchsize]
             a = a.reshape(n_bunches, n_dev, bs_local, d)

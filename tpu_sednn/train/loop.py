@@ -37,49 +37,80 @@ _RUNNER_MEMO: Dict = {}
 
 
 def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
+                      n_data_shards: int = 1, pre_grouped: bool = False,
                       **engine_kwargs):
     """Chunk-trainer factory shared by the epoch drivers.
 
-    Memoized on (cfg, opt, engine, kwargs): repeated calls (one per epoch in
-    the recipe driver) return the SAME jitted runner, so nothing recompiles
-    across epochs — essential on this backend, where the persistent
-    compilation cache is unsupported and each mosaic compile costs ~minutes
-    over the remote-compile relay (lrate/momentum stay dynamic args).
+    Memoized on (cfg, opt.bunchsize, engine, shards, kwargs): repeated calls
+    (one per epoch in the recipe driver) return the SAME jitted runner, so
+    nothing recompiles across epochs — essential on this backend, where the
+    persistent compilation cache is unsupported and each mosaic compile costs
+    ~minutes over the remote-compile relay (lrate/momentum stay dynamic args).
 
     engine:
       * "xla"      — the jitted lax.scan parity chunk (make_jit_train_chunk);
       * "resident" — the VMEM-resident whole-chunk megakernel
         (ops/resident_chunk.py; ~1.5x on v5e-class chips, TPU only);
       * "auto"     — "resident" on a TPU backend, "xla" elsewhere.
+    n_data_shards > 1 takes the data-parallel variant of the engine over a
+    1-D ("data",) mesh: the DP resident megakernel with its in-kernel
+    butterfly all-reduce, or the shard_map+psum XLA path.  pre_grouped marks
+    chunk rows as already bunch_part-regrouped and sharded by the caller
+    (the multi-process input pipeline).
     engine_kwargs are forwarded to the resident factory (interpret/bf16).
     All runners share the signature
-      run(state, x, t, rng, lrate=…, momentum=…, weightcost=…) -> state.
-
-    Only shape-determining opt fields (bunchsize) key the memo —
-    lrate/momentum/weightcost are dynamic scalars in every engine, so the
-    recipe's per-epoch momentum ramp reuses ONE compiled runner.  The
-    returned runner's *defaults* are therefore whatever opt created it first;
-    epoch drivers must pass lrate/momentum/weightcost explicitly.
+      run(state, x, t, rng, lrate, momentum, weightcost[, n_real]) -> state
+    with the hyperparameters REQUIRED (the memo ignores opt's dynamic fields,
+    so defaults would silently come from whichever opt created the runner
+    first — callers must always pass them explicitly).
     """
     if engine == "auto":
         engine = "resident" if jax.default_backend() == "tpu" else "xla"
-    memo_key = (cfg, opt.bunchsize, engine, tuple(sorted(engine_kwargs.items())))
+    memo_key = (cfg, opt.bunchsize, engine, n_data_shards, pre_grouped,
+                tuple(sorted(engine_kwargs.items())))
     if memo_key in _RUNNER_MEMO:
         return _RUNNER_MEMO[memo_key]
-    if engine == "resident":
+    if n_data_shards > 1:
+        from tpu_sednn.parallel import make_mesh
+
+        mesh = make_mesh(n_data=n_data_shards, n_model=1)
+        if engine == "resident":
+            from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+
+            run_dp = make_dp_resident_train_chunk(
+                cfg, opt, mesh, pre_grouped=pre_grouped, **engine_kwargs)
+
+            def run(state, x, t, rng, lrate, momentum, weightcost, n_real=None):
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
+                return run_dp(state, x, t, seed, lrate, momentum, weightcost,
+                              n_real=n_real)
+        else:
+            from tpu_sednn.parallel import make_dp_train_chunk
+
+            run_xla = make_dp_train_chunk(cfg, opt, mesh,
+                                          pre_grouped=pre_grouped)
+
+            def run(state, x, t, rng, lrate, momentum, weightcost, n_real=None):
+                if n_real is not None:
+                    raise ValueError("XLA DP path takes trimmed chunks, not "
+                                     "n_real-padded ones")
+                return run_xla(state, x, t, rng, lrate, momentum, weightcost)
+    elif engine == "resident":
         from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
 
         run_res = make_resident_train_chunk(cfg, opt, **engine_kwargs)
 
-        def run(state, x, t, rng, lrate=opt.lrate, momentum=opt.momentum,
-                weightcost=opt.weightcost, n_real=None):
+        def run(state, x, t, rng, lrate, momentum, weightcost, n_real=None):
             # the in-kernel hardware PRNG takes an int32 seed, not a key
             seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
             return run_res(state, x, t, seed, lrate, momentum, weightcost,
                            n_real=n_real)
 
     elif engine == "xla":
-        run = make_jit_train_chunk(cfg, opt)
+        run_j = make_jit_train_chunk(cfg, opt)
+
+        def run(state, x, t, rng, lrate, momentum, weightcost):
+            return run_j(state, x, t, rng, lrate, momentum, weightcost)
     else:
         raise ValueError(f"unknown engine {engine!r}")
     _RUNNER_MEMO[memo_key] = run
@@ -116,6 +147,7 @@ def train_epoch_pfile(
     engine: str = "xla",
     cv_dump_path: Optional[str] = None,
     device_splice: Optional[bool] = None,
+    engine_kwargs: Optional[Dict] = None,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch over pfiles with reference semantics (shuffled chunk order,
     lrand48 scatter, quirk-exact update), then the CV pass.
@@ -160,11 +192,16 @@ def train_epoch_pfile(
     resolved_engine = engine
     if resolved_engine == "auto":
         resolved_engine = "resident" if jax.default_backend() == "tpu" else "xla"
+    n_proc = jax.process_count()
+    multi_process = n_proc > 1 and n_data_shards > 1
     if device_splice is None:
-        device_splice = (n_data_shards == 1 and resolved_engine == "resident"
+        # DP resident keeps device_splice: fixed-capacity chunks + dynamic
+        # n_real mean ONE mosaic compile serves the whole epoch per shard
+        device_splice = (resolved_engine == "resident" and not multi_process
                          and jax.default_backend() == "tpu" and nat)
+    mesh = None
     if n_data_shards > 1:
-        from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate
+        from tpu_sednn.parallel import make_mesh, replicate
 
         mesh = make_mesh(n_data=n_data_shards, n_model=1)
         state = TrainState(
@@ -172,10 +209,18 @@ def train_epoch_pfile(
             deltas=replicate(state.deltas, mesh),
             step=state.step,
         )
-        run_chunk = make_dp_train_chunk(cfg, opt, mesh)
-        device_splice = False
+        # resident engine -> DP megakernel (in-kernel butterfly all-reduce);
+        # xla -> shard_map+psum.  Multi-process runs pre-regroup chunks on
+        # the host and ship only each process's rows (per-host sharding).
+        run_chunk = make_chunk_runner(cfg, opt, resolved_engine,
+                                      n_data_shards=n_data_shards,
+                                      pre_grouped=multi_process,
+                                      **(engine_kwargs or {}))
+        if resolved_engine != "resident":
+            device_splice = False
     else:
-        run_chunk = make_chunk_runner(cfg, opt, resolved_engine)
+        run_chunk = make_chunk_runner(cfg, opt, resolved_engine,
+                                      **(engine_kwargs or {}))
     rng = jax.random.key(seed)
 
     # host chunk prep runs one step ahead of device compute (single worker, so
@@ -225,15 +270,35 @@ def train_epoch_pfile(
                 mean, inv_std, rand, nat=nat,
             )
 
+        if multi_process:
+            # per-host sharded input: every process reads the full chunk (the
+            # parity lrand48 stream must be consumed identically everywhere)
+            # but regroups bunch_part rows on the host and TRANSFERS only the
+            # rows its own devices shard (make_global_chunk)
+            from tpu_sednn.parallel import bunch_part_regroup_host, make_global_chunk
+
+            def to_dev(a):
+                return make_global_chunk(
+                    bunch_part_regroup_host(np.asarray(a), opt.bunchsize,
+                                            n_data_shards), mesh)
+        else:
+            to_dev = jnp.asarray
+
         for i, (indata, targ) in enumerate(Prefetcher(chunk_order, read, depth=2)):
             rng, sub = jax.random.split(rng)
-            state = run_chunk(state, jnp.asarray(indata), jnp.asarray(targ), sub,
+            state = run_chunk(state, to_dev(indata), to_dev(targ), sub,
                               opt.lrate, opt.momentum, opt.weightcost)
             log.info(f"Starting chunk {i + 1} of {plan.total_chunks} containing {len(indata)} samples.")
 
     # CV phase (BPtrain.cc:61-87): unshuffled chunks, partial bunches included
     cv_plan = plan_chunks(fea_info.frames_before_sent, cv_sent_range, fea_context, traincache)
     sq_err = 0.0
+    cv_params = state.params
+    if multi_process:
+        # params are replicated: every process computes the identical CV on
+        # its own devices from a host copy of any addressable replica
+        cv_params = jax.tree.map(
+            lambda a: np.asarray(a.addressable_data(0)), state.params)
     dump_f = open(cv_dump_path, "w") if cv_dump_path else None
     if device_splice and dump_f is None and cv_plan.total_chunks > 0:
         # CV over the same on-device splice path: raw 129-dim frames over the
@@ -260,7 +325,7 @@ def train_epoch_pfile(
                 jnp.asarray(seg_id), jnp.asarray(seg_off), jnp.asarray(seg_len),
                 fea_context, targ_offset, nat)
             sq_err += float(cv_squared_error_masked(
-                state.params, x, tt, jnp.int32(n_samples), cfg))
+                cv_params, x, tt, jnp.int32(n_samples), cfg))
         cv_mse = sq_err / max(cv_plan.total_samples, 1)
         dt = time.time() - t0
         log.info(f"CV over. squared error: {cv_mse:f}")
@@ -278,11 +343,11 @@ def train_epoch_pfile(
             from tpu_sednn.train.step import cv_forward_and_sqerr
 
             out, se = cv_forward_and_sqerr(
-                state.params, jnp.asarray(indata), jnp.asarray(targ), cfg)
+                cv_params, jnp.asarray(indata), jnp.asarray(targ), cfg)
             np.savetxt(dump_f, np.asarray(out), fmt="%f", delimiter=" ")
             sq_err += float(se)
             continue
-        sq_err += float(cv_squared_error(state.params, jnp.asarray(indata), jnp.asarray(targ), cfg))
+        sq_err += float(cv_squared_error(cv_params, jnp.asarray(indata), jnp.asarray(targ), cfg))
     if dump_f is not None:
         dump_f.close()
     cv_mse = sq_err / max(cv_plan.total_samples, 1)
