@@ -45,9 +45,21 @@ REF_AUDIO_S_PER_S = 270.0  # documented estimate, see module docstring
 HOP_SECONDS = 0.016  # 16 ms frame shift (how_to_get_pfile.txt:54)
 LAYERS = (1548, 2048, 2048, 2048, 129)
 BUNCH = 128
+# v5e-class bf16 matmul peak (per chip).  MFU below counts LOGICAL model
+# FLOPs (6 per param per sample: fwd 2 + bwd 4) against this peak; the
+# kernel additionally computes zero-padding (1548->1664, 129->256 lanes) and
+# the VPU-bound momentum update, so the matmul-only speed of light is not
+# reachable — see BASELINE.md roofline notes.
+PEAK_BF16_TFLOPS = 197.0
 
 
-def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
+def _train_flops_per_sample(layers=LAYERS) -> float:
+    params = sum(a * b for a, b in zip(layers[:-1], layers[1:]))
+    return 6.0 * params
+
+
+def bench_mode(mode: str, n_samples: int, reps: int, bunch: int = BUNCH,
+               res_kwargs: dict | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +76,7 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
     else:
         cfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
                           dropout_mode="inverted", dropout_rng="tpu_prng")
-    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=BUNCH)
+    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=bunch)
 
     params = init_params(jax.random.key(0), cfg, scheme="glorot")
     state = init_train_state(params)
@@ -73,22 +85,15 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
     x = jax.random.normal(key, (n_samples, LAYERS[0]), jnp.float32)
     t = jax.random.normal(jax.random.fold_in(key, 1), (n_samples, LAYERS[-1]), jnp.float32)
 
-    if mode == "parity" and jax.default_backend() == "tpu":
+    if mode in ("parity", "clean") and jax.default_backend() == "tpu":
         # VMEM-resident whole-chunk megakernel: weights+momentum pinned in
-        # VMEM for the entire chunk, one fused fwd+bwd+update per bunch —
-        # 1.50x over the XLA parity path (0.086 vs 0.129 ms/bunch, v5 lite).
+        # VMEM for the entire chunk, one fused fwd+bwd+update per bunch
+        # (rule="clean" = standard momentum on the same kernel)
         from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
 
-        run_res = make_resident_train_chunk(cfg, opt)
-
-        def step(state, rng):
-            seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
-            return run_res(state, x, t, seed)
-    elif mode == "clean" and jax.default_backend() == "tpu":
-        # same resident megakernel with the standard (clean) momentum rule
-        from tpu_sednn.ops.resident_chunk import make_resident_train_chunk
-
-        run_res = make_resident_train_chunk(cfg, opt, rule="clean")
+        run_res = make_resident_train_chunk(
+            cfg, opt, rule="parity" if mode == "parity" else "clean",
+            **(res_kwargs or {}))
 
         def step(state, rng):
             seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
@@ -103,9 +108,9 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def chunk_bf16(state, x, t, rng):
-            n_bunches = n_samples // BUNCH
-            xb = x[: n_bunches * BUNCH].reshape(n_bunches, BUNCH, -1)
-            tb = t[: n_bunches * BUNCH].reshape(n_bunches, BUNCH, -1)
+            n_bunches = n_samples // bunch
+            xb = x[: n_bunches * bunch].reshape(n_bunches, bunch, -1)
+            tb = t[: n_bunches * bunch].reshape(n_bunches, bunch, -1)
             rngs = jax.random.split(rng, n_bunches)
 
             def body(st, inp):
@@ -130,17 +135,19 @@ def bench_mode(mode: str, n_samples: int, reps: int) -> dict:
     _sync(state.params)
     dt = time.perf_counter() - t0
 
-    n_bunches = n_samples // BUNCH
-    total_samples = reps * n_bunches * BUNCH
+    n_bunches = n_samples // bunch
+    total_samples = reps * n_bunches * bunch
     sps = total_samples / dt
     return {
         "samples_per_sec": sps,
         "step_ms": 1000.0 * dt / (reps * n_bunches),
         "audio_s_per_s": sps * HOP_SECONDS,
+        "mfu": sps * _train_flops_per_sample() / (PEAK_BF16_TFLOPS * 1e12),
     }
 
 
-def bench_decode(seconds: float, reps: int, batch: int = 64) -> dict:
+def bench_decode(seconds: float, reps: int, batch: int = 64,
+                 sample_rate: int = 8000, head: str = "lps") -> dict:
     """Serving throughput: full wav -> enhanced-wav decode, one jitted program.
 
     The pipeline the reference ships only as an external binary (README.md:
@@ -151,6 +158,10 @@ def bench_decode(seconds: float, reps: int, batch: int = 64) -> dict:
     A single dispatch costs ~30 ms of relay latency in this environment, so
     the serving number is measured the way a server would run it: a vmapped
     batch of `batch` utterances per dispatch.
+
+    sample_rate 16000 benches the full-band 257-bin variant (3084-2048x3-257,
+    the clips' native rate); head="irm" benches the mask-head flagship
+    (sigmoid output + mask_floor decode).
     """
     import jax
     import jax.numpy as jnp
@@ -159,13 +170,19 @@ def bench_decode(seconds: float, reps: int, batch: int = 64) -> dict:
     from tpu_sednn.enhance.decode import EnhanceConfig, make_serving_decoder
     from tpu_sednn.model import ModelConfig, init_params
 
-    cfg_stft = StftConfig.for_rate(8000)  # 129 bins, 16 ms hop: canonical net
-    mcfg = ModelConfig(layersizes=LAYERS, dropout_vis=0.1, dropout_hid=0.2,
-                       dropout_mode="parity")
-    ecfg = EnhanceConfig(stft=cfg_stft, fea_context=11, targ_offset=5, nat=True)
+    cfg_stft = StftConfig.for_rate(sample_rate)
+    d = cfg_stft.n_bins
+    layers = (d * 11 + d, 2048, 2048, 2048, d)
+    mask_head = head in ("irm", "ibm")
+    mcfg = ModelConfig(layersizes=layers, dropout_vis=0.1, dropout_hid=0.2,
+                       dropout_mode="parity",
+                       output="sigmoid" if mask_head else "linear")
+    ecfg = EnhanceConfig(stft=cfg_stft, fea_context=11, targ_offset=5,
+                         nat=True, head=head,
+                         mask_floor=0.05 if mask_head else 0.0)
     params = init_params(jax.random.key(0), mcfg, scheme="glorot")
-    mean = np.zeros((LAYERS[-1],), np.float32)
-    istd = np.ones((LAYERS[-1],), np.float32)
+    mean = np.zeros((d,), np.float32)
+    istd = np.ones((d,), np.float32)
     n = int(seconds * cfg_stft.sample_rate)
     wavs = jax.random.normal(jax.random.key(2), (batch, n), jnp.float32)
 
@@ -257,6 +274,44 @@ def validate_dropout(n_samples: int = 4096) -> dict:
     }
 
 
+def validate_dp_dropout() -> dict:
+    """TPU validation of the DP resident dropout contract (VERDICT r2 item 6)
+    with only ONE physical chip: the kernel's DP mask is BY CONSTRUCTION the
+    device's row-slice of the single-chip global mask (same prng_seed, same
+    bits, in-kernel slice) — sample_resident_masks runs that exact kernel
+    code path on hardware, so asserting (a) each device slice equals the
+    corresponding rows of the full mask (stream sharing) and (b) slices are
+    pairwise distinct (devices do NOT reuse each other's rows) validates the
+    semantics the multi-device run inherits."""
+    import jax
+
+    from tpu_sednn.ops.resident_chunk import sample_resident_masks
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return {"pass": None, "on_tpu": False}
+    shape = (BUNCH, 2048)
+    slice_ok = True
+    distinct_ok = True
+    for b, l in ((0, 1), (7, 2), (255, 0)):
+        omit = 0.1 if l == 0 else 0.2
+        full = np.asarray(sample_resident_masks(2024, b, l, shape, omit))
+        parts = []
+        for n_dev in (2, 4):
+            rows = BUNCH // n_dev
+            for d in range(n_dev):
+                part = np.asarray(sample_resident_masks(
+                    2024, b, l, shape, omit, device_idx=d, n_dev=n_dev))
+                if not np.array_equal(part, full[d * rows:(d + 1) * rows]):
+                    slice_ok = False
+                parts.append(part[:BUNCH // 4].tobytes())
+        if len(set(parts)) != len(parts):
+            distinct_ok = False
+    return {"pass": bool(slice_ok and distinct_ok),
+            "slice_identity": bool(slice_ok),
+            "per_device_distinct": bool(distinct_ok), "on_tpu": True}
+
+
 def main():
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     # 10 reps: single relay round-trips jitter by ~±15%; ~0.25 s of timed
@@ -275,15 +330,30 @@ def main():
     parity = bench_mode("parity", n_samples, reps)
     clean = bench_mode("clean", n_samples, reps)
     xla_parity = bench_mode("parity_xla", n_samples, reps)
+    # mega-batch scaling point: the ROW-TILED resident kernel — update batch
+    # 4096, streamed through the kernel in 128-row tiles with in-kernel
+    # gradient accumulation (the update cost amortizes 32x; activations stay
+    # one tile)
+    mega = bench_mode("clean", n_samples, reps, bunch=4096,
+                      res_kwargs={"tile_rows": 128})
     decode = bench_decode(seconds=64.0, reps=reps)
+    decode_16k = bench_decode(seconds=32.0, reps=reps, sample_rate=16000)
+    decode_irm = bench_decode(seconds=64.0, reps=reps, head="irm")
     dropout_check = validate_dropout()
+    dp_dropout = validate_dp_dropout()
     print(f"# parity (resident megakernel on TPU): {parity}", file=sys.stderr)
     print(f"# clean bf16: {clean}", file=sys.stderr)
     print(f"# parity via plain XLA: {xla_parity}", file=sys.stderr)
-    print(f"# decode (wav->enhanced wav, serving): {decode}", file=sys.stderr)
+    print(f"# mega-batch resident (bunch 512, clean): {mega}", file=sys.stderr)
+    print(f"# decode 8k lps (wav->enhanced wav, serving): {decode}", file=sys.stderr)
+    print(f"# decode 16k full-band: {decode_16k}", file=sys.stderr)
+    print(f"# decode irm mask-head: {decode_irm}", file=sys.stderr)
     print(f"# dropout validation: {dropout_check}", file=sys.stderr)
+    print(f"# dp dropout validation: {dp_dropout}", file=sys.stderr)
 
     value = parity["audio_s_per_s"]
+    sol_ms = (_train_flops_per_sample() * BUNCH / (PEAK_BF16_TFLOPS * 1e12)
+              * 1000.0)
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec_per_chip",
         "value": round(value, 1),
@@ -291,10 +361,16 @@ def main():
         "vs_baseline": round(value / REF_AUDIO_S_PER_S, 2),
         "clean_bf16_audio_s_per_s": round(clean["audio_s_per_s"], 1),
         "xla_parity_audio_s_per_s": round(xla_parity["audio_s_per_s"], 1),
+        "megabatch512_audio_s_per_s": round(mega["audio_s_per_s"], 1),
         "samples_per_sec": round(parity["samples_per_sec"]),
         "step_ms": round(parity["step_ms"], 3),
+        "mfu": round(parity["mfu"], 3),
+        "speed_of_light_step_ms": round(sol_ms, 4),
         "decode_audio_s_per_s": round(decode["audio_s_per_s"], 1),
+        "decode_16k_audio_s_per_s": round(decode_16k["audio_s_per_s"], 1),
+        "decode_irm_audio_s_per_s": round(decode_irm["audio_s_per_s"], 1),
         "dropout_check": dropout_check,
+        "dp_dropout_check": dp_dropout,
         "demo_gate": _demo_gate_summary(),
     }))
 
@@ -302,9 +378,21 @@ def main():
 def _demo_gate_summary():
     """Quality summary from the tracked demo-gate artifacts (produced by the
     full multi-condition TPU runs; see BASELINE.md) so the round's bench
-    record carries the quality gate next to the throughput number."""
+    record carries the quality gate next to the throughput number.  Each
+    entry records the producing artifact's mtime and the current commit so a
+    stale artifact (older than the code under benchmark) is distinguishable
+    from a fresh one (ADVICE r2)."""
+    import subprocess
+    import time as _time
+
     out = {}
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                cwd=here, capture_output=True, text=True,
+                                timeout=10).stdout.strip() or None
+    except Exception:
+        commit = None
     for tag, fn in (("lps", "demo_gate.json"), ("irm", "demo_gate_irm.json"),
                     ("16k", "demo_gate_16k.json")):
         p = os.path.join(here, "artifacts", fn)
@@ -312,8 +400,15 @@ def _demo_gate_summary():
             continue
         d = json.load(open(p))
         gains = [d[k]["lsd_gain"] for k in ("test1", "test2", "test3") if k in d]
+        stoi_gains = [d[k]["stoi_gain"] for k in ("test1", "test2", "test3")
+                      if k in d]
         out[tag] = {"pass": d.get("pass"),
-                    "min_lsd_gain_db": round(min(gains), 2) if gains else None}
+                    "min_lsd_gain_db": round(min(gains), 2) if gains else None,
+                    "min_stoi_gain": round(min(stoi_gains), 4) if stoi_gains else None,
+                    "artifact_mtime": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%S", _time.gmtime(os.path.getmtime(p)))}
+    if out:
+        out["bench_commit"] = commit
     return out
 
 

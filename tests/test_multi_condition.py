@@ -21,6 +21,7 @@ def test_multi_condition_mini(tmp_path):
         n_epochs=5,
         bunchsize=64,
         use_dp_mesh=True,
+        head="lps",  # the regression head (the config default flagship is irm)
     )
     res = run_multi_condition(mc, logger=Logger(stream=None))
     assert res["cv_hist"][-1] < res["cv_hist"][0]

@@ -395,3 +395,47 @@ def test_resident_dedy_full_variant_matches():
         np.testing.assert_allclose(np.asarray(st_b.params["w"][l]),
                                    np.asarray(st_a.params["w"][l]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_resident_row_tiled_big_bunch_matches_clean_step():
+    """tile_rows < bunchsize: the kernel streams each update batch in row
+    tiles, accumulating the gradient into the momentum buffer and applying
+    the weight step on the last tile — must equal clean_train_step at the
+    full bunch size (one update per big bunch)."""
+    from tpu_sednn.train.step import clean_train_step
+
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=64)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((128, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((128, sizes[-1])), jnp.float32)
+
+    st_ref = init_train_state(params)
+    for i in range(2):
+        st_ref, _ = clean_train_step(st_ref, x[64 * i:64 * (i + 1)],
+                                     t[64 * i:64 * (i + 1)], cfg, opt,
+                                     compute_dtype=None)
+    for tile in (16, 32):
+        run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                        rule="clean", tile_rows=tile)
+        st_res = run(init_train_state(params), x, t, jnp.int32(0))
+        assert int(st_res.step) == 2  # 2 updates of 64 rows each
+        for l in range(2):
+            np.testing.assert_allclose(np.asarray(st_res.params["w"][l]),
+                                       np.asarray(st_ref.params["w"][l]),
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(st_res.deltas["b"][l]),
+                                       np.asarray(st_ref.deltas["b"][l]),
+                                       rtol=2e-5, atol=2e-6)
+
+
+def test_resident_tile_rows_guards():
+    cfg = ModelConfig(layersizes=(128, 128))
+    with pytest.raises(ValueError, match="clean-rule"):
+        make_resident_train_chunk(cfg, OptConfig(bunchsize=64),
+                                  rule="parity", tile_rows=16)
+    with pytest.raises(ValueError, match="divide"):
+        make_resident_train_chunk(cfg, OptConfig(bunchsize=64),
+                                  rule="clean", tile_rows=24)

@@ -75,7 +75,8 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      dropout: tuple, dropout_mode: str, valid_sizes,
                      bf16: bool, sr_state: bool,
                      axis_name: str | None = None, n_dev: int = 1,
-                     grad_n: int | None = None, dedy_full: bool = False):
+                     grad_n: int | None = None, dedy_full: bool = False,
+                     accum_tiles: int = 1, mask_rows: int | None = None):
     # ref layout: scal, seed, x, t, w[L], d[L], b[L], db[L] |
     #             w_out[L], d_out[L], b_out[L], db_out[L] |
     #             Ws[L], Ds[L], Bs[L], DBs[L], sem
@@ -145,7 +146,15 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 comm[0, pl.ds(0, rb), pl.ds(0, n)] = val
         return val
 
+    # 2-D grid (update batches, row tiles): j streams accum_tiles tiles of
+    # `bunch` rows per update batch, accumulating the gradient INTO the
+    # momentum buffer (no extra gradient scratch) and applying the weight
+    # step only on the last tile — this is how the resident kernel takes
+    # arbitrarily large update batches with a bounded activation footprint
+    # (VERDICT r2 items 4/5).  accum_tiles == 1 reproduces the original
+    # per-bunch update exactly.
     i = pl.program_id(0)
+    j = pl.program_id(1)
     # generalized momentum rule: delta' = m*delta - (A*g + B*w), where g is
     # the gradient of (1/n)*sum((out-t)^2); A/B are precomputed by the caller
     # (parity: A=(1-m)*lr/n, B=(1-m)*lr*wc — the reference's double-1/n and
@@ -153,13 +162,13 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     m = scal[0]
     A = scal[1]
     B = scal[2]
-    # dynamic real-bunch count (seed[1]): the grid may be padded to a fixed
+    # dynamic real-batch count (seed[1]): the grid may be padded to a fixed
     # capacity so one compiled kernel serves every chunk size (pfile chunks
     # vary per sentence boundaries; mosaic compiles cost ~minutes per shape).
     # Grid steps >= n_real skip all compute and state stays untouched.
     n_real = seed[1]
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _load_state():
         for src, dst in zip(w_in + d_in + b_in + db_in, Ws + Ds + Bs + DBs):
             cp = pltpu.make_async_copy(src, dst, sem)
@@ -180,8 +189,9 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 # bunch's mask, and slices its own bunch_part rows — so the
                 # DP mask streams are exactly the single-chip streams split
                 # by row, for any power-of-two device count.
-                pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE)
-                g_rows = grad_n if n_dev > 1 else bunch  # global bunch rows
+                gi = i * accum_tiles + j if accum_tiles > 1 else i
+                pltpu.prng_seed(seed[0] + gi * _BUNCH_STRIDE + l * _LAYER_STRIDE)
+                g_rows = mask_rows if mask_rows else bunch  # global tile rows
                 bits = pltpu.bitcast(
                     pltpu.prng_random_bits((g_rows, h.shape[1])), jnp.uint32)
                 mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
@@ -233,6 +243,18 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
                 g = _allreduce(g)  # DP: sum local-slice gradients over devices
                 w32 = w_blk.astype(jnp.float32)
+                if accum_tiles > 1:
+                    # gradient accumulation INTO the momentum buffer: tile 0
+                    # applies decay + weightcost once, later tiles only add
+                    # their -A*g share; the weight step lands with the last
+                    # tile (W stays PRE-update for every tile's backprop)
+                    d_blk = Ds[l][r0:r1, :]
+                    nd = jnp.where(j == 0, m * d_blk - (A * g + B * w32),
+                                   d_blk - A * g)
+                    Ds[l][r0:r1, :] = nd
+                    Ws[l][r0:r1, :] = jnp.where(j == accum_tiles - 1,
+                                                w32 + nd, w32)
+                    continue
                 nd = m * Ds[l][r0:r1, :].astype(jnp.float32) - (A * g + B * w32)
                 if sr_state:
                     # bf16 state: unbiased stochastic rounding via the hw PRNG —
@@ -252,9 +274,16 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             gb = jnp.sum(dedx, axis=0, keepdims=True)
             if n_dev > 1:  # pad to a sublane-aligned (8, N) block for the DMA
                 gb = _allreduce(jnp.pad(gb, ((0, 7), (0, 0))))[0:1, :]
-            ndb = m * DBs[l][:] - A * gb  # biases stay f32 in both state modes
-            DBs[l][:] = ndb
-            Bs[l][:] = Bs[l][:] + ndb
+            if accum_tiles > 1:
+                ndb = jnp.where(j == 0, m * DBs[l][:] - A * gb,
+                                DBs[l][:] - A * gb)
+                DBs[l][:] = ndb
+                Bs[l][:] = jnp.where(j == accum_tiles - 1,
+                                     Bs[l][:] + ndb, Bs[l][:])
+            else:
+                ndb = m * DBs[l][:] - A * gb  # biases stay f32 either way
+                DBs[l][:] = ndb
+                Bs[l][:] = Bs[l][:] + ndb
 
             if l > 0:
                 y = ys[l]  # post-dropout activation of layer l-1 (reference uses
@@ -266,7 +295,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     def _train_bunch():
         _train_bunch_body()
 
-    @pl.when(i == jnp.maximum(n_real, 1) - 1)
+    @pl.when((i == jnp.maximum(n_real, 1) - 1) & (j == accum_tiles - 1))
     def _store_state():
         for src, dst in zip(Ws + Ds + Bs + DBs, w_out + d_out + b_out + db_out):
             cp = pltpu.make_async_copy(src, dst, sem)
@@ -278,21 +307,26 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    hidden: str, output: str, dropout, dropout_mode: str,
                    valid_sizes, bf16: bool, sr_state: bool, interpret: bool,
                    axis_name: str | None = None, n_dev: int = 1,
-                   grad_n: int | None = None, dedy_full: bool = False):
+                   grad_n: int | None = None, dedy_full: bool = False,
+                   accum_tiles: int = 1, mask_rows: int | None = None):
     L = len(ws)
-    n_bunches = x.shape[0] // bunch
+    n_mega = x.shape[0] // (bunch * accum_tiles)
     kern = functools.partial(
         _resident_kernel, L=L, sizes=tuple(sizes), bunch=bunch,
-        n_bunches=n_bunches, hidden=hidden, output=output,
+        n_bunches=n_mega, hidden=hidden, output=output,
         dropout=tuple(dropout), dropout_mode=dropout_mode,
         valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state,
-        axis_name=axis_name, n_dev=n_dev, grad_n=grad_n, dedy_full=dedy_full)
+        axis_name=axis_name, n_dev=n_dev, grad_n=grad_n, dedy_full=dedy_full,
+        accum_tiles=accum_tiles, mask_rows=mask_rows)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    at = accum_tiles
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec((bunch, sizes[0]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-           pl.BlockSpec((bunch, sizes[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((bunch, sizes[0]), lambda i, j: (i * at + j, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((bunch, sizes[-1]), lambda i, j: (i * at + j, 0),
+                        memory_space=pltpu.VMEM)]
         + [any_spec] * (4 * L)
     )
     out_specs = tuple([any_spec] * (4 * L))
@@ -318,14 +352,14 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
     else:
         interpret_param = interpret
     compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",),
+        dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=128 * 1024 * 1024,
         collective_id=0 if n_dev > 1 else None,
         has_side_effects=n_dev > 1,
     )
     outs = pl.pallas_call(
         kern,
-        grid=(n_bunches,),
+        grid=(n_mega, accum_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -360,7 +394,8 @@ def _scal_coefs(rule: str, grad_n: int, out_dim: int, lrate, momentum, weightcos
 def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
                               interpret: bool = False, bf16: bool = True,
                               rule: str = "parity", sr_state: bool = False,
-                              dedy_full: bool = False):
+                              dedy_full: bool = False,
+                              tile_rows: int | None = None):
     """jit chunk trainer: whole chunk, VMEM-resident state, one pallas_call.
 
     Same contract as train.step.make_jit_train_chunk / make_pallas_train_chunk
@@ -374,6 +409,12 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     train.step.clean_train_step).  sr_state: weights/momentum are bfloat16
     (biases stay f32) with hardware-PRNG stochastic rounding — halves the
     resident state's VMEM footprint and update traffic (clean mode; TPU only).
+
+    tile_rows: stream each opt.bunchsize-row update batch through the kernel
+    in row tiles of this size (grid dim 1), accumulating the gradient into
+    the momentum buffer and applying the weight step on the last tile — big
+    update batches (clean mode) with a bounded activation footprint.  None =
+    the whole bunch is one tile (the original per-bunch behavior).
     """
     sizes = tuple(cfg.layersizes)
     padded = tuple(_round_up(s) for s in sizes)
@@ -386,6 +427,14 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     if sr_state and rule == "parity":
         raise ValueError("sr_state (bf16 weights) is a clean-mode option; "
                          "parity is fp32 end-to-end")
+    tile = tile_rows if tile_rows is not None else bunch
+    if bunch % tile or tile % 8:
+        raise ValueError(f"tile_rows {tile} must divide bunchsize {bunch} "
+                         "and be a multiple of 8")
+    accum = bunch // tile
+    if accum > 1 and (rule != "clean" or sr_state):
+        raise ValueError("row-tiled gradient accumulation (tile_rows < "
+                        "bunchsize) is a clean-rule, fp32/bf16-state option")
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
@@ -412,10 +461,11 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         dropout = (cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0)
         ws, ds, bs, dbs = _resident_call(
             x, t, list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
-            scal, seed_arr, sizes=padded, bunch=bunch, hidden=cfg.hidden,
+            scal, seed_arr, sizes=padded, bunch=tile, hidden=cfg.hidden,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
             valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret,
-            dedy_full=dedy_full)
+            dedy_full=dedy_full, accum_tiles=accum,
+            grad_n=bunch if accum > 1 else None)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
@@ -488,7 +538,8 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
             dropout=(cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0),
             dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
             sr_state=False, interpret=interpret,
-            axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full)
+            axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full,
+            mask_rows=bunch)
 
     sharded = shard_map(
         shard_fn,

@@ -164,7 +164,16 @@ def main(argv=None) -> int:
         tn = load_norm(tnorm_path, d)
     gv = None
     gv_path = os.path.join(run_dir, "gv.txt")
-    gv_mode = manifest.get("gv_mode", "off")
+    if manifest:
+        gv_mode = manifest.get("gv_mode", "off")
+    else:
+        # legacy run dirs (no run.json): preserve the old behavior — the
+        # presence of gv.txt auto-enables global GV equalization (ADVICE r2:
+        # silently dropping it would change re-scored numbers)
+        gv_mode = "global" if os.path.exists(gv_path) else "off"
+        if gv_mode == "global":
+            print(f"note: no run.json in {run_dir}; gv.txt present -> "
+                  "gv_mode=global (legacy fallback)", file=sys.stderr)
     if os.path.exists(gv_path) and gv_mode != "off":
         gv = np.loadtxt(gv_path).astype(np.float32)
     else:

@@ -40,19 +40,22 @@ class MultiConditionConfig:
     seed: int = 0
     ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
-    # training head: "lps" regression (TASLP'15) or "irm"/"ibm" mask
-    # estimation (the Interspeech'15 variant; same trainer, different target
-    # pfile — finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
-    head: str = "lps"
+    # training head: "irm" mask estimation (the Interspeech'15 variant and
+    # THIS REPO'S FLAGSHIP — positive on every demo-gate metric), "ibm", or
+    # "lps" regression (TASLP'15; same trainer, different target pfile —
+    # finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
+    head: str = "irm"
     ibm_lc_db: float = 5.0  # IBM local criterion (the reference's LC5dB)
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
     gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
-    # decode-time spectral gain window (lps head): capping suppression at
-    # min_gain_db bounds speech distortion from regression errors on
-    # out-of-domain material (swept on the demo clips: -10 dB maximizes
-    # LSD gain at near-zero STOI cost); None disables
+    # decode-time spectral gain window: capping suppression at min_gain_db
+    # bounds speech distortion from regression errors on out-of-domain
+    # material.  Values are FROZEN from a sweep on HELD-OUT synthetic
+    # validation clips (recipes/val_sweep.py; never the demo-gate clips —
+    # ADVICE r2), recorded in the run.json manifest.  None disables.
     min_gain_db: Optional[float] = -10.0
     max_gain_db: Optional[float] = 0.0
+    mask_floor: float = 0.05  # mask-head suppression floor (same sweep)
 
 
 def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = None) -> Dict:
@@ -94,8 +97,20 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
 
     mask_head = mc.head in ("irm", "ibm")
     target_norm = mc.target_norm and not mask_head  # masks are already [0,1]
-    mean, inv_std = compute_norm(np.concatenate(noisy_lps))
-    t_mean, t_inv_std = (compute_norm(np.concatenate(clean_lps))
+
+    # train/CV split at CLEAN-UTTERANCE granularity (ADVICE r2): hold out
+    # whole utterances INCLUDING all their noise/SNR variants, so no clean
+    # target appears on both sides (a trailing-frames split would leak
+    # variants of the same utterance into CV and flatter cv_mse).
+    v = max(mc.variants, 1)
+    n_hold = max(1, mc.n_utts // 20)
+    split = (mc.n_utts - n_hold) * v
+    tr_noisy, cv_noisy = noisy_lps[:split], noisy_lps[split:]
+    tr_clean, cv_clean = clean_lps[:split], clean_lps[split:]
+
+    # normalization / GV statistics come from the TRAIN split only
+    mean, inv_std = compute_norm(np.concatenate(tr_noisy))
+    t_mean, t_inv_std = (compute_norm(np.concatenate(tr_clean))
                          if target_norm else (None, None))
     save_norm(os.path.join(mc.out_dir, "fea.norm"), mean, inv_std)
     if target_norm:
@@ -103,29 +118,35 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         save_norm(os.path.join(mc.out_dir, "targ.norm"), t_mean, t_inv_std)
     # clean-corpus global variance for decode-time GV equalization (TASLP'15);
     # consumable via `python -m tpu_sednn.enhance --gv-ref gv.txt --gv-mode ...`
-    gv_ref = np.concatenate(clean_lps).var(axis=0)
+    gv_ref = np.concatenate(tr_clean).var(axis=0)
     np.savetxt(os.path.join(mc.out_dir, "gv.txt"), gv_ref)
 
     if mask_head:
         # Interspeech'15 variant: same trainer, mask targets + sigmoid head
         from tpu_sednn.data.masks import ibm_from_lps, irm_from_lps
 
-        targets = [
-            irm_from_lps(c, n) if mc.head == "irm"
-            else ibm_from_lps(c, n, mc.ibm_lc_db)
-            for c, n in zip(clean_lps, noisy_lps)
-        ]
+        def mk_targets(cleans, noisys):
+            return [
+                irm_from_lps(c, n) if mc.head == "irm"
+                else ibm_from_lps(c, n, mc.ibm_lc_db)
+                for c, n in zip(cleans, noisys)
+            ]
     else:
-        targets = clean_lps
+        def mk_targets(cleans, noisys):
+            return cleans
     x, t = build_training_arrays(
-        noisy_lps, targets, mc.fea_context, mc.targ_offset, nat=True,
+        tr_noisy, mk_targets(tr_clean, tr_noisy), mc.fea_context,
+        mc.targ_offset, nat=True,
         mean=mean, inv_std=inv_std, targ_mean=t_mean, targ_inv_std=t_inv_std,
     )
-    n_cv = max(len(x) // 20, mc.bunchsize)
-    x_cv, t_cv = x[-n_cv:], t[-n_cv:]
-    x, t = x[:-n_cv], t[:-n_cv]
+    x_cv, t_cv = build_training_arrays(
+        cv_noisy, mk_targets(cv_clean, cv_noisy), mc.fea_context,
+        mc.targ_offset, nat=True,
+        mean=mean, inv_std=inv_std, targ_mean=t_mean, targ_inv_std=t_inv_std,
+    )
     log.info(f"[mc] {len(x)} train / {len(x_cv)} cv samples "
-             f"({audio_seconds:.0f} audio-seconds), input dim {x.shape[1]}, "
+             f"({n_hold} held-out utts x {v} variants; "
+             f"{audio_seconds:.0f} audio-seconds), input dim {x.shape[1]}, "
              f"head {mc.head}")
 
     # 2. model + sharded trainer
@@ -213,7 +234,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
             "fea_context": mc.fea_context, "targ_offset": mc.targ_offset,
             "dropout": list(mc.dropout), "gv_mode": mc.gv_mode,
             "layersizes": list(sizes), "nat": True,
-            "mask_floor": 0.05 if mask_head else 0.0,
+            "mask_floor": mc.mask_floor if mask_head else 0.0,
             "target_norm": bool(target_norm),
             "min_gain_db": mc.min_gain_db, "max_gain_db": mc.max_gain_db,
         }, f, indent=2)
@@ -222,7 +243,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     enh_cfg = EnhanceConfig(stft=cfg_stft, fea_context=mc.fea_context,
                             targ_offset=mc.targ_offset, nat=True,
                             head=mc.head, gv_mode=mc.gv_mode,
-                            mask_floor=0.05 if mask_head else 0.0,
+                            mask_floor=mc.mask_floor if mask_head else 0.0,
                             min_gain_db=mc.min_gain_db,
                             max_gain_db=mc.max_gain_db)
     tn = (t_mean, t_inv_std) if target_norm else None

@@ -1,0 +1,196 @@
+"""Held-out validation sweep for decode-time parameters (ADVICE/VERDICT r2).
+
+The decode gain window (min/max_gain_db), mask floor, and GV mode used to be
+swept on the three `enh_wav_example` demo clips — the same clips the tracked
+quality gate scores, so the gate partially measured a parameter tuned on its
+own test set.  This module fixes that:
+
+* `make_val_clips` builds a HELD-OUT synthetic validation set (fresh seed
+  stream, disjoint from every training corpus seed; noise kinds x SNRs
+  spanning the demo-clip conditions) WITH clean ground truth — so decode
+  parameters are scored against actual clean speech, not a proxy;
+* `sweep_decode_params` grid-searches the decode parameters on those clips,
+  maximizing mean LSD improvement subject to a non-negative mean STOI gain;
+* the winner is FROZEN into the run dir's run.json, which demo_gate and the
+  enhance CLI read — the demo clips stay a pure regression gate.
+
+CLI:  python -m tpu_sednn.recipes.val_sweep RUN_DIR [--grid small|full]
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# validation conditions approximate the gate clips' regimes (stationary +
+# babble-like noise, low-to-mid SNR) without using any gate audio
+VAL_NOISE_KINDS = ("white", "pink", "babble", "hfchannel")
+VAL_SNRS = (0.0, 5.0, 10.0)
+VAL_SEED = 777000  # disjoint from every recipe/corpus seed in the repo
+
+
+def make_val_clips(sr: int, n_clips: int = 8, seconds: float = 4.0,
+                   seed: int = VAL_SEED) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """-> [(clean, noisy)] held-out validation pairs at sample rate `sr`."""
+    from tpu_sednn.data.mixing import mix_at_snr, synth_noise, synth_speech
+
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    clips = []
+    for i in range(n_clips):
+        clean = synth_speech(rng, n, sr, style="rich")
+        kind = VAL_NOISE_KINDS[i % len(VAL_NOISE_KINDS)]
+        snr = VAL_SNRS[i % len(VAL_SNRS)]
+        try:
+            noise = synth_noise(rng, n, kind)
+        except (KeyError, ValueError):  # noise family not in this build
+            noise = synth_noise(rng, n, "white")
+        clips.append((clean, mix_at_snr(clean, noise, snr, rng)))
+    return clips
+
+
+def _score(params, mcfg, ecfg, clips, mean, inv_std, target_norm, gv_ref):
+    """Mean (lsd_gain, stoi_gain, segsnr_gain) vs CLEAN over the val clips."""
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp import stft_logpower
+    from tpu_sednn.enhance.decode import enhance_waveform
+    from tpu_sednn.metrics import lsd, seg_snr, stoi
+
+    sr = ecfg.stft.sample_rate
+    lsd_g, stoi_g, seg_g = [], [], []
+    for clean, noisy in clips:
+        enh = enhance_waveform(params, mcfg, ecfg, noisy, mean, inv_std,
+                               target_norm=target_norm, gv_ref=gv_ref)
+        n = min(len(clean), len(enh))
+        c, nz, e = clean[:n], noisy[:n], enh[:n]
+        c_lps = np.asarray(stft_logpower(jnp.asarray(c), ecfg.stft))
+        lsd_g.append(lsd(c_lps, np.asarray(stft_logpower(jnp.asarray(nz), ecfg.stft)))
+                     - lsd(c_lps, np.asarray(stft_logpower(jnp.asarray(e), ecfg.stft))))
+        stoi_g.append(stoi(c, e, sr) - stoi(c, nz, sr))
+        seg_g.append(seg_snr(c, e, sr) - seg_snr(c, nz, sr))
+    return (float(np.mean(lsd_g)), float(np.mean(stoi_g)), float(np.mean(seg_g)))
+
+
+def sweep_decode_params(params, mcfg, ecfg_base, clips, mean, inv_std,
+                        target_norm=None, gv_ref=None,
+                        grid: str = "small") -> Dict:
+    """Grid-search decode params on held-out clips.
+
+    Objective: maximize mean lsd_gain subject to mean stoi_gain >= 0 (fall
+    back to the best stoi_gain candidate if none qualify).  Returns
+    {"best": {...}, "table": [...]}.
+    """
+    from dataclasses import replace
+
+    mask_head = ecfg_base.head in ("irm", "ibm")
+    if grid == "full":
+        gains = [(None, None), (-8.0, 0.0), (-10.0, 0.0), (-13.0, 0.0),
+                 (-16.0, 0.0), (-20.0, 0.0)]
+        floors = [0.0, 0.03, 0.05, 0.08, 0.12] if mask_head else [0.0]
+        gv_modes = ["off", "global"]
+    else:
+        gains = [(None, None), (-10.0, 0.0), (-15.0, 0.0)]
+        floors = [0.0, 0.05, 0.1] if mask_head else [0.0]
+        gv_modes = ["off"]
+
+    table = []
+    for (mn, mx), fl, gvm in itertools.product(gains, floors, gv_modes):
+        if gvm != "off" and gv_ref is None:
+            continue
+        ecfg = replace(ecfg_base, min_gain_db=mn, max_gain_db=mx,
+                       mask_floor=fl, gv_mode=gvm)
+        lsd_g, stoi_g, seg_g = _score(params, mcfg, ecfg, clips, mean,
+                                      inv_std, target_norm,
+                                      gv_ref if gvm != "off" else None)
+        table.append({"min_gain_db": mn, "max_gain_db": mx, "mask_floor": fl,
+                      "gv_mode": gvm, "lsd_gain": round(lsd_g, 4),
+                      "stoi_gain": round(stoi_g, 5),
+                      "segsnr_gain": round(seg_g, 3)})
+
+    ok = [r for r in table if r["stoi_gain"] >= 0.0]
+    pool = ok if ok else table
+    best = max(pool, key=lambda r: r["lsd_gain"])
+    return {"best": best, "table": table,
+            "n_clips": len(clips), "seed": VAL_SEED,
+            "constraint": "mean stoi_gain >= 0 on held-out clips"}
+
+
+def sweep_run_dir(run_dir: str, grid: str = "small",
+                  write: bool = True) -> Dict:
+    """Load a trained run dir (mlp.final.wts + fea.norm + run.json), sweep on
+    held-out clips, and freeze the winner back into run.json."""
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance.decode import EnhanceConfig
+    from tpu_sednn.io.norm import load_norm
+    from tpu_sednn.io.wts import load_wts
+    from tpu_sednn.model.mlp import ModelConfig, params_from_wts
+
+    man_path = os.path.join(run_dir, "run.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    ws, bs = load_wts(os.path.join(run_dir, "mlp.final.wts"))
+    params = params_from_wts(ws, bs)
+    d = len(bs[-1])
+    sizes = tuple([ws[0].shape[0]] + [len(b) for b in bs])
+    head = manifest.get("head", "lps")
+    sr = manifest["sample_rate"]
+    dr = manifest.get("dropout", (0.1, 0.2))
+    mcfg = ModelConfig(layersizes=sizes, dropout_vis=dr[0], dropout_hid=dr[1],
+                       dropout_mode="parity",
+                       output="sigmoid" if head in ("irm", "ibm") else "linear")
+    mean, inv_std = load_norm(os.path.join(run_dir, "fea.norm"), d)
+    tn = None
+    if os.path.exists(os.path.join(run_dir, "targ.norm")):
+        tn = load_norm(os.path.join(run_dir, "targ.norm"), d)
+    gv = None
+    if os.path.exists(os.path.join(run_dir, "gv.txt")):
+        gv = np.loadtxt(os.path.join(run_dir, "gv.txt")).astype(np.float32)
+    ecfg = EnhanceConfig(stft=StftConfig.for_rate(sr),
+                         fea_context=manifest["fea_context"],
+                         targ_offset=manifest["targ_offset"],
+                         nat=manifest.get("nat", True), head=head)
+    clips = make_val_clips(sr)
+    res = sweep_decode_params(params, mcfg, ecfg, clips, mean, inv_std,
+                              target_norm=tn, gv_ref=gv, grid=grid)
+    with open(os.path.join(run_dir, "val_sweep.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    if write:
+        best = res["best"]
+        manifest.update({
+            "min_gain_db": best["min_gain_db"],
+            "max_gain_db": best["max_gain_db"],
+            "mask_floor": best["mask_floor"],
+            "gv_mode": best["gv_mode"],
+            "decode_params_provenance":
+                f"val_sweep grid={grid} on {res['n_clips']} held-out clips "
+                f"(seed {VAL_SEED}); {res['constraint']}",
+        })
+        with open(man_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+    return res
+
+
+def main(argv=None) -> int:
+    argv = list(argv if argv is not None else sys.argv[1:])
+    grid = "small"
+    if "--grid" in argv:
+        i = argv.index("--grid")
+        grid = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) != 1:
+        print("usage: python -m tpu_sednn.recipes.val_sweep RUN_DIR "
+              "[--grid small|full]", file=sys.stderr)
+        return 1
+    res = sweep_run_dir(argv[0], grid=grid)
+    print(json.dumps(res["best"], indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
