@@ -36,7 +36,7 @@ Params = Dict[str, Tuple[jnp.ndarray, ...]]
 class ModelConfig:
     layersizes: Tuple[int, ...] = (1548, 2048, 2048, 2048, 129)
     hidden: str = "relu"  # "relu" | "sigmoid"
-    output: str = "linear"  # "linear" | "sigmoid" (mask head)
+    output: str = "linear"  # "linear" | "sigmoid" (mask head) | "softmax"
     dropout_vis: float = 0.0  # visible_omit
     dropout_hid: float = 0.0  # hid_omit
     dropout_mode: str = "parity"  # "parity" | "inverted"
@@ -66,6 +66,12 @@ def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.relu(x)
     if name == "sigmoid":
         return jax.nn.sigmoid(x)
+    if name == "softmax":
+        # classification head — the analog of the reference's kernSoftmax
+        # (DevFunc.cu:100, dead code in the shipped trainer path but part of
+        # the kernel surface); train via clean_train_step/jax.grad or
+        # softmax_xent_loss (the resident megakernel covers linear/sigmoid)
+        return jax.nn.softmax(x, axis=-1)
     if name == "linear":
         return x
     raise ValueError(f"unknown activation {name}")

@@ -54,26 +54,58 @@ def make_val_clips(sr: int, n_clips: int = 8, seconds: float = 4.0,
     return clips
 
 
-def _score(params, mcfg, ecfg, clips, mean, inv_std, target_norm, gv_ref):
-    """Mean (lsd_gain, stoi_gain, segsnr_gain) vs CLEAN over the val clips."""
+def _prep_clips(clips, stft, sr):
+    """Per-clip precompute shared by every sweep candidate: STFT of the noisy
+    clip (re/im/lps), clean LPS, and the clean-vs-noisy baseline metrics —
+    the per-candidate work shrinks to enhance_lps + overlap-add + metrics."""
     import jax.numpy as jnp
 
-    from tpu_sednn.dsp import stft_logpower
-    from tpu_sednn.enhance.decode import enhance_waveform
+    from tpu_sednn.dsp import stft_logpower, stft_real_imag
+    from tpu_sednn.enhance.decode import LPS_FLOOR
+    from tpu_sednn.metrics import lsd, seg_snr, stoi
+
+    prepped = []
+    for clean, noisy in clips:
+        re, im = stft_real_imag(jnp.asarray(noisy, jnp.float32), stft)
+        noisy_lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
+        c_lps = np.asarray(stft_logpower(jnp.asarray(clean), stft))
+        prepped.append({
+            "clean": clean, "noisy": noisy, "re": re, "im": im,
+            "noisy_lps": noisy_lps, "clean_lps": c_lps,
+            "lsd_noisy": lsd(c_lps, np.asarray(noisy_lps)),
+            "stoi_noisy": stoi(clean, noisy, sr),
+            "segsnr_noisy": seg_snr(clean, noisy, sr),
+        })
+    return prepped
+
+
+def _score(params, mcfg, ecfg, prepped, mean, inv_std, target_norm, gv_ref):
+    """Mean (lsd_gain, stoi_gain, segsnr_gain) vs CLEAN over prepped clips."""
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp import reconstruct_from_lps, stft_logpower
+    from tpu_sednn.enhance.decode import enhance_lps
     from tpu_sednn.metrics import lsd, seg_snr, stoi
 
     sr = ecfg.stft.sample_rate
+    tn = None
+    if target_norm is not None:
+        tn = (jnp.asarray(target_norm[0]), jnp.asarray(target_norm[1]))
+    gv = None if gv_ref is None else jnp.asarray(gv_ref)
     lsd_g, stoi_g, seg_g = [], [], []
-    for clean, noisy in clips:
-        enh = enhance_waveform(params, mcfg, ecfg, noisy, mean, inv_std,
-                               target_norm=target_norm, gv_ref=gv_ref)
-        n = min(len(clean), len(enh))
-        c, nz, e = clean[:n], noisy[:n], enh[:n]
-        c_lps = np.asarray(stft_logpower(jnp.asarray(c), ecfg.stft))
-        lsd_g.append(lsd(c_lps, np.asarray(stft_logpower(jnp.asarray(nz), ecfg.stft)))
-                     - lsd(c_lps, np.asarray(stft_logpower(jnp.asarray(e), ecfg.stft))))
-        stoi_g.append(stoi(c, e, sr) - stoi(c, nz, sr))
-        seg_g.append(seg_snr(c, e, sr) - seg_snr(c, nz, sr))
+    for p in prepped:
+        e_lps = enhance_lps(params, mcfg, ecfg, p["noisy_lps"],
+                            jnp.asarray(mean), jnp.asarray(inv_std),
+                            target_norm=tn, gv_ref=gv)
+        enh = np.asarray(reconstruct_from_lps(
+            e_lps, p["re"], p["im"], ecfg.stft, n_samples=len(p["noisy"])))
+        n = min(len(p["clean"]), len(enh))
+        c, e = p["clean"][:n], enh[:n]
+        lsd_g.append(p["lsd_noisy"]
+                     - lsd(p["clean_lps"],
+                           np.asarray(stft_logpower(jnp.asarray(e), ecfg.stft))))
+        stoi_g.append(stoi(c, e, sr) - p["stoi_noisy"])
+        seg_g.append(seg_snr(c, e, sr) - p["segsnr_noisy"])
     return (float(np.mean(lsd_g)), float(np.mean(stoi_g)), float(np.mean(seg_g)))
 
 
@@ -99,13 +131,14 @@ def sweep_decode_params(params, mcfg, ecfg_base, clips, mean, inv_std,
         floors = [0.0, 0.05, 0.1] if mask_head else [0.0]
         gv_modes = ["off"]
 
+    prepped = _prep_clips(clips, ecfg_base.stft, ecfg_base.stft.sample_rate)
     table = []
     for (mn, mx), fl, gvm in itertools.product(gains, floors, gv_modes):
         if gvm != "off" and gv_ref is None:
             continue
         ecfg = replace(ecfg_base, min_gain_db=mn, max_gain_db=mx,
                        mask_floor=fl, gv_mode=gvm)
-        lsd_g, stoi_g, seg_g = _score(params, mcfg, ecfg, clips, mean,
+        lsd_g, stoi_g, seg_g = _score(params, mcfg, ecfg, prepped, mean,
                                       inv_std, target_norm,
                                       gv_ref if gvm != "off" else None)
         table.append({"min_gain_db": mn, "max_gain_db": mx, "mask_floor": fl,

@@ -200,6 +200,62 @@ def clean_train_step(
     )
 
 
+def softmax_xent_train_step(
+    state: TrainState,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: ModelConfig,
+    opt: OptConfig,
+    rng: jax.Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """Softmax classification step — the WORKING analog of the reference's
+    shipped-but-dead softmax/binary kernels (kernSoftmax DevFunc.cu:100,
+    kernBinary DevFunc.cu:4; neither is called by the trainer path).
+
+    cfg.output must be "softmax"; `labels` is either int32 class ids
+    (batch,) or one-hot/(soft) targets (batch, n_out).  Loss is mean
+    cross-entropy computed from logits via log_softmax (numerically stable);
+    the update is the clean Polyak-momentum rule.
+    """
+    from dataclasses import replace as _replace
+
+    if cfg.output != "softmax":
+        raise ValueError("softmax_xent_train_step requires cfg.output='softmax'")
+    logits_cfg = _replace(cfg, output="linear")
+    n_out = cfg.layersizes[-1]
+    t1h = (jax.nn.one_hot(labels, n_out, dtype=jnp.float32)
+           if labels.ndim == 1 else labels)
+
+    def loss_fn(p):
+        logits = forward(p, x, logits_cfg, train=True, rng=rng,
+                         compute_dtype=compute_dtype)
+        return -jnp.mean(jnp.sum(t1h * jax.nn.log_softmax(logits), axis=-1))
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    m, lr, wc = opt.momentum, opt.lrate, opt.weightcost
+
+    def upd(delta, p, g, with_wc):
+        g = g + (wc * p if with_wc else 0.0)
+        new_delta = m * delta - lr * g
+        return new_delta, p + new_delta
+
+    new = [upd(d, w, g, True) for d, w, g in
+           zip(state.deltas["w"], state.params["w"], grads["w"])]
+    new_dw, new_w = zip(*new)
+    new = [upd(d, b, g, False) for d, b, g in
+           zip(state.deltas["b"], state.params["b"], grads["b"])]
+    new_db, new_b = zip(*new)
+    return (
+        TrainState(
+            params={"w": tuple(new_w), "b": tuple(new_b)},
+            deltas={"w": tuple(new_dw), "b": tuple(new_db)},
+            step=state.step + 1,
+        ),
+        loss,
+    )
+
+
 # ---------------------------------------------------------------------------
 # evaluation
 # ---------------------------------------------------------------------------
