@@ -293,23 +293,32 @@ def validate_dp_dropout() -> dict:
     shape = (BUNCH, 2048)
     slice_ok = True
     distinct_ok = True
+    invariant_ok = True
     for b, l in ((0, 1), (7, 2), (255, 0)):
         omit = 0.1 if l == 0 else 0.2
         full = np.asarray(sample_resident_masks(2024, b, l, shape, omit))
-        parts = []
+        by_ndev = {}
         for n_dev in (2, 4):
             rows = BUNCH // n_dev
+            parts = []
             for d in range(n_dev):
                 part = np.asarray(sample_resident_masks(
                     2024, b, l, shape, omit, device_idx=d, n_dev=n_dev))
                 if not np.array_equal(part, full[d * rows:(d + 1) * rows]):
                     slice_ok = False
-                parts.append(part[:BUNCH // 4].tobytes())
-        if len(set(parts)) != len(parts):
-            distinct_ok = False
-    return {"pass": bool(slice_ok and distinct_ok),
+                parts.append(part)
+            # WITHIN one device count, devices must see disjoint/distinct rows
+            if len({p.tobytes() for p in parts}) != n_dev:
+                distinct_ok = False
+            by_ndev[n_dev] = parts
+        # ACROSS device counts the streams must coincide (invariance): the
+        # first device's rows at n=4 are the first half of its rows at n=2
+        if not np.array_equal(by_ndev[4][0], by_ndev[2][0][:BUNCH // 4]):
+            invariant_ok = False
+    return {"pass": bool(slice_ok and distinct_ok and invariant_ok),
             "slice_identity": bool(slice_ok),
-            "per_device_distinct": bool(distinct_ok), "on_tpu": True}
+            "per_device_distinct": bool(distinct_ok),
+            "device_count_invariant": bool(invariant_ok), "on_tpu": True}
 
 
 def main():

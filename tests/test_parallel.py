@@ -134,3 +134,26 @@ def test_auto_sharded_2d_mesh():
             np.asarray(st1.params["w"][l]), np.asarray(st2.params["w"][l]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_bunch_part_regroup_host_matches_jit_regroup():
+    """The multi-process input pipeline's host regroup must equal the in-jit
+    regroup: device d's b-th local slice = rows [b*bunch + d*bs_local, ...)."""
+    import numpy as np
+
+    from tpu_sednn.parallel import bunch_part_regroup_host
+
+    bunch, n_dev = 16, 4
+    a = np.arange(5 * bunch * 3, dtype=np.float32).reshape(-1, 3)  # 5 bunches + 0 partial
+    out = bunch_part_regroup_host(a, bunch, n_dev)
+    bs_local = bunch // n_dev
+    n_bunches = len(a) // bunch
+    assert out.shape == a.shape
+    for d in range(n_dev):
+        for b in range(n_bunches):
+            got = out[(d * n_bunches + b) * bs_local:(d * n_bunches + b + 1) * bs_local]
+            want = a[b * bunch + d * bs_local: b * bunch + (d + 1) * bs_local]
+            np.testing.assert_array_equal(got, want)
+    # partial bunch rows are trimmed
+    a2 = np.arange((5 * bunch + 7) * 3, dtype=np.float32).reshape(-1, 3)
+    assert bunch_part_regroup_host(a2, bunch, n_dev).shape[0] == 5 * bunch

@@ -41,6 +41,6 @@ def test_sweep_picks_stoi_safe_candidate():
     assert "best" in res and len(res["table"]) >= 3
     best = res["best"]
     ok = [r for r in res["table"] if r["stoi_gain"] >= 0.0]
-    if ok:  # constraint honored when satisfiable
+    if ok:  # constraint honored when satisfiable; winner = max combined score
         assert best["stoi_gain"] >= 0.0
-        assert best["lsd_gain"] == max(r["lsd_gain"] for r in ok)
+        assert best["score"] == max(r["score"] for r in ok)

@@ -100,6 +100,8 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     DBs = [next(it) for _ in range(L)]
     sem = next(it)
     if n_dev > 1:
+        if dropout[0] > 0.0 or dropout[1] > 0.0:
+            mask_buf = next(it)  # (mask_rows, max_width) VMEM staging
         comm = next(it)
         ready = next(it)
         send_sem = next(it)
@@ -195,9 +197,14 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 bits = pltpu.bitcast(
                     pltpu.prng_random_bits((g_rows, h.shape[1])), jnp.uint32)
                 mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
-                if n_dev > 1:  # my rows: sublane-aligned (bunch % 8 == 0)
-                    mask = jax.lax.dynamic_slice_in_dim(
-                        mask, my_id * bunch, bunch, 0)
+                if n_dev > 1:
+                    # take my bunch_part rows.  Mosaic has no dynamic_slice
+                    # on VALUES, so stage the global mask through a VMEM
+                    # scratch and read back with a dynamic pl.ds ref load
+                    # (start = my_id*bunch is 8-row aligned: bunch % 8 == 0)
+                    w_ = h.shape[1]
+                    mask_buf[0:g_rows, 0:w_] = mask
+                    mask = mask_buf[pl.ds(my_id * bunch, bunch), 0:w_]
                 h = h * mask
                 if dropout_mode == "inverted":
                     h = h * jnp.float32(1.0 / (1.0 - omit))
@@ -341,6 +348,11 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         rb_max = max(max(rb for _, rb in _row_blocks(s)) for s in sizes[:-1])
         n_max = max(sizes[1:])
         n_steps = n_dev.bit_length() - 1
+        if dropout[0] > 0.0 or dropout[1] > 0.0:
+            # global-mask staging buffer (mosaic can't dynamic_slice values;
+            # the kernel row-slices this ref with a dynamic pl.ds instead)
+            scratch += [pltpu.VMEM((mask_rows or bunch, max(sizes[:-1])),
+                                   jnp.float32)]
         scratch += [
             pltpu.VMEM((2, rb_max, n_max), jnp.float32),  # comm slots
             pltpu.SemaphoreType.REGULAR((n_steps,)),      # per-step tokens
@@ -614,21 +626,24 @@ def sample_resident_masks(seed: int, bunch_idx: int, layer_idx: int,
     is device `device_idx`'s rows [d*bs_local, (d+1)*bs_local) of it — the
     device-count-invariant contract shared with parallel/mesh.py:95.
     """
-    kseed = jnp.asarray(
-        seed + bunch_idx * _BUNCH_STRIDE + layer_idx * _LAYER_STRIDE,
-        jnp.int32).reshape(1)
     g_rows, width = int(shape[0]), int(shape[1])
     if g_rows % n_dev:
         raise ValueError(f"global rows {g_rows} not divisible by n_dev {n_dev}")
     bs_local = g_rows // n_dev
+    kseed = jnp.asarray(
+        [seed + bunch_idx * _BUNCH_STRIDE + layer_idx * _LAYER_STRIDE,
+         device_idx], jnp.int32)
 
-    def kern(seed_ref, o_ref):
+    def kern(seed_ref, o_ref, buf):
         pltpu.prng_seed(seed_ref[0])
         bits = pltpu.bitcast(pltpu.prng_random_bits((g_rows, width)), jnp.uint32)
         mask = (bits >= jnp.uint32(_mask_threshold(omit))).astype(jnp.float32)
         if n_dev > 1:
-            mask = jax.lax.dynamic_slice_in_dim(mask, device_idx * bs_local,
-                                                bs_local, 0)
+            # same staging-scratch row slice as the DP kernel (mosaic has no
+            # dynamic_slice on values); the start is TRACED (seed_ref[1]) so
+            # this validates the exact dynamic-pl.ds load the DP kernel does
+            buf[0:g_rows, 0:width] = mask
+            mask = buf[pl.ds(seed_ref[1] * bs_local, bs_local), 0:width]
         o_ref[:] = mask
 
     return pl.pallas_call(
@@ -636,6 +651,7 @@ def sample_resident_masks(seed: int, bunch_idx: int, layer_idx: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bs_local, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g_rows, width), jnp.float32)],
         # mosaic interpret (not the HLO interpreter): prng_seed needs it
         interpret=pltpu.InterpretParams() if interpret else False,
     )(kseed)

@@ -72,7 +72,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     from tpu_sednn.ops.stft_pallas import stft_lps_pallas
     from tpu_sednn.parallel import make_dp_train_chunk, make_mesh, replicate, shard_batch
     from tpu_sednn.recipes.finetune_nat import recipe_opt_schedule
-    from tpu_sednn.train import init_train_state, make_jit_train_chunk
+    from tpu_sednn.train import init_train_state
     from tpu_sednn.train.step import TrainState, cv_squared_error
     from tpu_sednn.utils.checkpoint import (
         latest_step, restore_checkpoint, save_checkpoint,
@@ -171,10 +171,16 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         to_dev = lambda a: shard_batch(jnp.asarray(a), mesh)
         log.info(f"[mc] data-parallel over {n_dev} devices")
     else:
+        from tpu_sednn.train.loop import make_chunk_runner
+
         state = init_train_state(params)
-        run = make_jit_train_chunk(mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize))
+        # "auto": the VMEM-resident megakernel on TPU (same parity math,
+        # hw-PRNG mask streams), plain XLA elsewhere; memoized so the
+        # momentum ramp reuses one compile
+        run = make_chunk_runner(mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize),
+                                "auto")
         to_dev = jnp.asarray
-        log.info(f"[mc] single-device training ({n_dev} visible)")
+        log.info(f"[mc] single-device training ({n_dev} visible, engine=auto)")
 
     xj, tj = to_dev(x), to_dev(t)
     xcj, tcj = jnp.asarray(x_cv), jnp.asarray(t_cv)

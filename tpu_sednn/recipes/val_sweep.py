@@ -109,13 +109,22 @@ def _score(params, mcfg, ecfg, prepped, mean, inv_std, target_norm, gv_ref):
     return (float(np.mean(lsd_g)), float(np.mean(stoi_g)), float(np.mean(seg_g)))
 
 
+# 0.01 STOI is worth ~0.5 dB of LSD in the combined objective: intelligibility
+# degrades far less gracefully than spectral distance, and a pure-LSD
+# objective picks unbounded suppression that is fragile off-distribution
+STOI_WEIGHT = 50.0
+
+
 def sweep_decode_params(params, mcfg, ecfg_base, clips, mean, inv_std,
                         target_norm=None, gv_ref=None,
                         grid: str = "small") -> Dict:
     """Grid-search decode params on held-out clips.
 
-    Objective: maximize mean lsd_gain subject to mean stoi_gain >= 0 (fall
-    back to the best stoi_gain candidate if none qualify).  Returns
+    Objective: maximize `lsd_gain + STOI_WEIGHT * stoi_gain` subject to mean
+    stoi_gain >= 0 (fall back to the best stoi_gain candidate if none
+    qualify).  The combined score keeps bounded-suppression candidates
+    competitive — a pure-LSD winner tends to suppress without limit, which is
+    brittle on real out-of-distribution recordings.  Returns
     {"best": {...}, "table": [...]}.
     """
     from dataclasses import replace
@@ -144,14 +153,18 @@ def sweep_decode_params(params, mcfg, ecfg_base, clips, mean, inv_std,
         table.append({"min_gain_db": mn, "max_gain_db": mx, "mask_floor": fl,
                       "gv_mode": gvm, "lsd_gain": round(lsd_g, 4),
                       "stoi_gain": round(stoi_g, 5),
-                      "segsnr_gain": round(seg_g, 3)})
+                      "segsnr_gain": round(seg_g, 3),
+                      "score": round(lsd_g + STOI_WEIGHT * stoi_g, 4)})
 
     ok = [r for r in table if r["stoi_gain"] >= 0.0]
-    pool = ok if ok else table
-    best = max(pool, key=lambda r: r["lsd_gain"])
+    if ok:
+        best = max(ok, key=lambda r: r["score"])
+    else:
+        best = max(table, key=lambda r: r["stoi_gain"])
     return {"best": best, "table": table,
             "n_clips": len(clips), "seed": VAL_SEED,
-            "constraint": "mean stoi_gain >= 0 on held-out clips"}
+            "constraint": ("mean stoi_gain >= 0; maximize lsd_gain + "
+                           f"{STOI_WEIGHT:g}*stoi_gain on held-out clips")}
 
 
 def sweep_run_dir(run_dir: str, grid: str = "small",
