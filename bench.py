@@ -370,7 +370,7 @@ def main():
         "vs_baseline": round(value / REF_AUDIO_S_PER_S, 2),
         "clean_bf16_audio_s_per_s": round(clean["audio_s_per_s"], 1),
         "xla_parity_audio_s_per_s": round(xla_parity["audio_s_per_s"], 1),
-        "megabatch512_audio_s_per_s": round(mega["audio_s_per_s"], 1),
+        "megabatch4096_audio_s_per_s": round(mega["audio_s_per_s"], 1),
         "samples_per_sec": round(parity["samples_per_sec"]),
         "step_ms": round(parity["step_ms"], 3),
         "mfu": round(parity["mfu"], 3),

@@ -137,3 +137,24 @@ def test_read_reference_demo_wav():
     assert sr == 16000
     assert x.ndim == 1 and len(x) > sr  # at least a second of audio
     assert np.abs(x).max() <= 1.0
+
+
+def test_save_wts_debug_txt(tmp_path):
+    """The reference's Writeweights debug channel (weights.txt,
+    Interface.cc:420,435-436): human-readable dump next to the binary.
+    Documented divergence: the reference prints the bias POINTER by mistake;
+    we print values."""
+    import numpy as np
+
+    from tpu_sednn.io.wts import load_wts, save_wts
+
+    ws = [np.arange(6, dtype=np.float32).reshape(2, 3)]
+    bs = [np.array([0.5, -1.0, 2.0], np.float32)]
+    p = str(tmp_path / "m.wts")
+    txt = str(tmp_path / "weights.txt")
+    save_wts(p, ws, bs, debug_txt=txt)
+    ws2, bs2 = load_wts(p)
+    np.testing.assert_array_equal(ws2[0], ws[0])
+    content = open(txt).read()
+    assert "weights12" in content and "bias2" in content
+    assert "0.500000" in content and "-1.000000" in content

@@ -79,7 +79,8 @@ def run_epoch(flags: TrainFlags, logger: Logger | None = None) -> float:
 
     if flags.outwts_file:
         ws, bs = params_to_wts(state.params)
-        save_wts(flags.outwts_file, ws, bs)
+        save_wts(flags.outwts_file, ws, bs,
+                 debug_txt=flags.weights_txt or None)
         log.info("Saving over.")
     return result.cv_mse
 

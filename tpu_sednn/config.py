@@ -50,6 +50,9 @@ class TrainFlags:
     # on-device splice/NAT/scatter (1/12th host->device transfer, one fixed
     # compile per epoch): -1 = auto (TPU+resident), 0 = off, 1 = on
     device_splice: int = -1
+    # opt-in human-readable weight dump (the reference writes weights.txt
+    # unconditionally next to outwts_file, Interface.cc:420,435-436); "" = off
+    weights_txt: str = ""
 
     @classmethod
     def from_argv(cls, argv: Sequence[str]) -> "TrainFlags":

@@ -29,15 +29,29 @@ import numpy as np
 MAGIC = 10  # stat[0] tag used by the reference for every section
 
 
-def save_wts(path: str, weights: Sequence[np.ndarray], biases: Sequence[np.ndarray]) -> None:
+def save_wts(path: str, weights: Sequence[np.ndarray], biases: Sequence[np.ndarray],
+             debug_txt: str | None = None) -> None:
     """Write a `.wts` file.
 
     weights[l] has shape (prev, cur); biases[l] has shape (cur,).
     Layer numbering in section names follows the reference: the first weight
     matrix is "weights12", its bias "bias2", etc.
+
+    debug_txt: optionally also write the reference's human-readable dump
+    (Interface::Writeweights unconditionally emits `weights.txt` next to the
+    binary, Interface.cc:420,435-436,458-459).  Divergence, documented: the
+    reference's bias lines print the POINTER by mistake (SURVEY §7 "bugs not
+    to port"); here they print the values.
     """
     if len(weights) != len(biases):
         raise ValueError("weights and biases must have the same number of layers")
+    if debug_txt is not None:
+        with open(debug_txt, "w") as ftxt:
+            for l, (w, b) in enumerate(zip(weights, biases), start=1):
+                ftxt.write(f"weights{l}{l + 1}\n")
+                np.savetxt(ftxt, np.asarray(w, np.float32), fmt="%f")
+                ftxt.write(f"bias{l + 1}\n")
+                np.savetxt(ftxt, np.asarray(b, np.float32)[None, :], fmt="%f")
     with open(path, "wb") as f:
         for l, (w, b) in enumerate(zip(weights, biases), start=1):
             w = np.ascontiguousarray(w, dtype="<f4")
