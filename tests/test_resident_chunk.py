@@ -439,3 +439,36 @@ def test_resident_tile_rows_guards():
     with pytest.raises(ValueError, match="divide"):
         make_resident_train_chunk(cfg, OptConfig(bunchsize=64),
                                   rule="clean", tile_rows=24)
+
+
+def test_dp_resident_row_tiled_matches_single_chip():
+    """DP + row-tiled accumulation (big update batches amortizing the
+    in-kernel butterfly): tile-granular bunch_part split, gradients
+    all-reduced per tile, accumulated into the momentum buffer, one update
+    per global batch — must match the single-chip row-tiled kernel."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=64)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((128, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((128, sizes[-1])), jnp.float32)
+
+    st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    rule="clean", tile_rows=32)(
+        init_train_state(params), x, t, jnp.int32(0))
+    mesh = make_mesh(n_data=2, n_model=1)
+    run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                       bf16=False, rule="clean", tile_rows=32)
+    st2 = run(init_train_state(replicate(params, mesh)), x, t, jnp.int32(0))
+    assert int(st2.step) == int(st1.step) == 2
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(st2.params["w"][l]),
+                                   np.asarray(st1.params["w"][l]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st2.deltas["b"][l]),
+                                   np.asarray(st1.deltas["b"][l]),
+                                   rtol=1e-5, atol=1e-6)

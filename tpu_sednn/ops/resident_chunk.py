@@ -493,7 +493,8 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
 def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                                  interpret: bool = False, bf16: bool = True,
                                  rule: str = "parity", dedy_full: bool = False,
-                                 pre_grouped: bool = False):
+                                 pre_grouped: bool = False,
+                                 tile_rows: int | None = None):
     """Data-parallel VMEM-resident chunk trainer: the headline megakernel
     scaled over a 1-D ("data",) mesh WITHOUT giving up residency.
 
@@ -541,17 +542,34 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
         raise ValueError(f"local bunch {bs_local} must be a multiple of 8")
     if rule not in ("parity", "clean"):
         raise ValueError(f"unknown rule {rule!r}")
+    # tile_rows: GLOBAL rows per streamed tile.  Big update batches (clean
+    # rule) are processed in tiles with in-kernel gradient accumulation —
+    # the per-update model-gradient butterfly amortizes bunch/tile_rows x.
+    tile_g = tile_rows if tile_rows is not None else bunch
+    if bunch % tile_g or tile_g % n_dev:
+        raise ValueError(f"tile_rows {tile_g} must divide bunchsize {bunch} "
+                         f"and be divisible by mesh data={n_dev}")
+    tile_local = tile_g // n_dev
+    if tile_local % 8:
+        raise ValueError(f"local tile {tile_local} must be a multiple of 8")
+    accum = bunch // tile_g
+    if accum > 1 and rule != "clean":
+        raise ValueError("row-tiled gradient accumulation is a clean-rule "
+                         "option (parity is per-128 sequential semantics)")
+    if accum > 1 and pre_grouped:
+        raise ValueError("pre_grouped input regroups at bunch granularity; "
+                         "tile_rows < bunchsize needs the in-jit regroup")
 
     def shard_fn(ws, ds, bs2, dbs2, x_local, t_local, scal, seed_arr):
         return _resident_call(
             x_local, t_local, list(ws), list(ds), list(bs2), list(dbs2),
-            scal, seed_arr, sizes=padded, bunch=bs_local, hidden=cfg.hidden,
+            scal, seed_arr, sizes=padded, bunch=tile_local, hidden=cfg.hidden,
             output=cfg.output,
             dropout=(cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0),
             dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
             sr_state=False, interpret=interpret,
             axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full,
-            mask_rows=bunch)
+            mask_rows=tile_g, accum_tiles=accum)
 
     sharded = shard_map(
         shard_fn,
@@ -577,9 +595,11 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
             targ_chunk = jnp.pad(targ_chunk, ((0, 0), (0, padded[-1] - sizes[-1])))
 
         def regroup(a):
-            # bunch_part row split (BP_GPU.cu:29-37): device d's b-th local
-            # slice = rows [b*bunch + d*bs_local, ...) of the chunk, so the
-            # global bunches match the single-chip order exactly.
+            # bunch_part row split (BP_GPU.cu:29-37) at TILE granularity:
+            # device d's k-th local tile = rows [k*tile_g + d*tile_local, ...)
+            # of the chunk — for accum == 1 (tile_g == bunch) this is exactly
+            # the reference's bunch split, so global bunches match the
+            # single-chip order.
             # pre_grouped: the caller (multi-process input pipeline) already
             # regrouped on the host and built a P("data")-sharded global
             # array — just pin the sharding.
@@ -588,8 +608,9 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                     a[: n_bunches * bunch], NamedSharding(mesh, P("data")))
             d = a.shape[1]
             a = a[: n_bunches * bunch]
-            a = a.reshape(n_bunches, n_dev, bs_local, d)
-            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_bunches * bs_local, d)
+            n_tiles = n_bunches * accum
+            a = a.reshape(n_tiles, n_dev, tile_local, d)
+            a = a.transpose(1, 0, 2, 3).reshape(n_dev * n_tiles * tile_local, d)
             return jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, P("data")))
 
