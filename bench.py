@@ -147,7 +147,8 @@ def bench_mode(mode: str, n_samples: int, reps: int, bunch: int = BUNCH,
 
 
 def bench_decode(seconds: float, reps: int, batch: int = 64,
-                 sample_rate: int = 8000, head: str = "lps") -> dict:
+                 sample_rate: int = 8000, head: str = "lps",
+                 quant: str = "none") -> dict:
     """Serving throughput: full wav -> enhanced-wav decode, one jitted program.
 
     The pipeline the reference ships only as an external binary (README.md:
@@ -186,7 +187,7 @@ def bench_decode(seconds: float, reps: int, batch: int = 64,
     n = int(seconds * cfg_stft.sample_rate)
     wavs = jax.random.normal(jax.random.key(2), (batch, n), jnp.float32)
 
-    decode = make_serving_decoder(params, mcfg, ecfg, mean, istd)
+    decode = make_serving_decoder(params, mcfg, ecfg, mean, istd, quant=quant)
 
     out = decode(wavs)
     _sync(out)
@@ -348,6 +349,9 @@ def main():
     decode = bench_decode(seconds=64.0, reps=reps)
     decode_16k = bench_decode(seconds=32.0, reps=reps, sample_rate=16000)
     decode_irm = bench_decode(seconds=64.0, reps=reps, head="irm")
+    # int8 serving path (model/quant.py): w8a8 dynamic quant, hidden matmuls
+    # on the int8 MXU (~2x bf16 peak); accuracy gated in tests/test_quant.py
+    decode_int8 = bench_decode(seconds=64.0, reps=reps, quant="int8")
     dropout_check = validate_dropout()
     dp_dropout = validate_dp_dropout()
     print(f"# parity (resident megakernel on TPU): {parity}", file=sys.stderr)
@@ -357,6 +361,7 @@ def main():
     print(f"# decode 8k lps (wav->enhanced wav, serving): {decode}", file=sys.stderr)
     print(f"# decode 16k full-band: {decode_16k}", file=sys.stderr)
     print(f"# decode irm mask-head: {decode_irm}", file=sys.stderr)
+    print(f"# decode int8 (w8a8 serving): {decode_int8}", file=sys.stderr)
     print(f"# dropout validation: {dropout_check}", file=sys.stderr)
     print(f"# dp dropout validation: {dp_dropout}", file=sys.stderr)
 
@@ -378,6 +383,7 @@ def main():
         "decode_audio_s_per_s": round(decode["audio_s_per_s"], 1),
         "decode_16k_audio_s_per_s": round(decode_16k["audio_s_per_s"], 1),
         "decode_irm_audio_s_per_s": round(decode_irm["audio_s_per_s"], 1),
+        "decode_int8_audio_s_per_s": round(decode_int8["audio_s_per_s"], 1),
         "dropout_check": dropout_check,
         "dp_dropout_check": dp_dropout,
         "demo_gate": _demo_gate_summary(),

@@ -76,6 +76,7 @@ def enhance_lps(
     inv_std: jnp.ndarray,
     target_norm: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
     gv_ref: jnp.ndarray | None = None,
+    forward_fn=None,
 ) -> jnp.ndarray:
     """Noisy LPS (n_frames, d) -> enhanced LPS (n_frames, d).
 
@@ -83,13 +84,15 @@ def enhance_lps(
     normalized targets; the output is denormalized accordingly.
     gv_ref: per-dim global variance of clean training LPS (compute_gv) for
     GV equalization when enh_cfg.gv_mode != "off".
+    forward_fn(params, x, cfg): alternative inference forward (e.g. the int8
+    serving path, model/quant.py); defaults to forward_eval.
     """
     normed = (noisy_lps - mean) * inv_std
     x = _splice_jnp(normed, enh_cfg.fea_context, enh_cfg.targ_offset)
     if enh_cfg.nat:
         est = jnp.mean(normed[: enh_cfg.nat_frames], axis=0)
         x = jnp.concatenate([x, jnp.broadcast_to(est, (x.shape[0], normed.shape[1]))], axis=1)
-    out = forward_eval(params, x, model_cfg)
+    out = (forward_fn or forward_eval)(params, x, model_cfg)
     if target_norm is not None and enh_cfg.head == "lps":
         t_mean, t_inv_std = target_norm
         out = out / t_inv_std + t_mean
@@ -196,6 +199,7 @@ def make_serving_decoder(
     inv_std: np.ndarray,
     target_norm: Tuple[np.ndarray, np.ndarray] | None = None,
     gv_ref: np.ndarray | None = None,
+    quant: str = "none",
 ):
     """Build a batched wav->wav enhancement closure for serving.
 
@@ -204,11 +208,22 @@ def make_serving_decoder(
       (fold_eval_params) instead of per forward;
     * normalization / GV constants put on device once;
     * one jitted vmapped program per utterance length (equal-length batches —
-      a server pads/buckets utterances to a few lengths).
+      a server pads/buckets utterances to a few lengths);
+    * quant="int8": w8a8 dynamic quantization (model/quant.py) so the hidden
+      matmuls run on the int8 MXU path (~2x bf16 peak); output layer stays
+      float. Accuracy gated in tests/test_quant.py.
 
     Returns decode(wavs: (batch, n_samples)) -> (batch, n_samples) enhanced.
     """
     folded, eval_cfg = fold_eval_params(params, model_cfg)
+    fwd = None
+    if quant == "int8":
+        from tpu_sednn.model.quant import forward_eval_int8, quantize_params_int8
+
+        folded = quantize_params_int8(folded)
+        fwd = forward_eval_int8
+    elif quant != "none":
+        raise ValueError(f"unknown quant mode {quant!r}")
     folded = jax.device_put(folded)
     mean_d, istd_d = jnp.asarray(mean), jnp.asarray(inv_std)
     tn = None
@@ -220,7 +235,7 @@ def make_serving_decoder(
         re, im = stft_real_imag(wav, enh_cfg.stft)
         noisy_lps = jnp.log(jnp.maximum(re * re + im * im, LPS_FLOOR))
         enh = enhance_lps(p, eval_cfg, enh_cfg, noisy_lps, mean_d, istd_d,
-                          target_norm=tn, gv_ref=gv)
+                          target_norm=tn, gv_ref=gv, forward_fn=fwd)
         return reconstruct_from_lps(enh, re, im, enh_cfg.stft, n_samples=wav.shape[0])
 
     pipe = jax.jit(jax.vmap(one, in_axes=(None, 0)))

@@ -6,3 +6,8 @@ from tpu_sednn.model.mlp import (
     params_from_wts,
     params_to_wts,
 )
+from tpu_sednn.model.quant import (
+    QuantParams,
+    forward_eval_int8,
+    quantize_params_int8,
+)
