@@ -1,0 +1,131 @@
+"""Streaming enhancer (enhance/streaming.py): sample-exact equality with the
+offline decode for arbitrary chunkings, plus API contract checks."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_sednn.dsp.stft import StftConfig
+from tpu_sednn.enhance.decode import EnhanceConfig, enhance_waveform
+from tpu_sednn.enhance.streaming import StreamingEnhancer
+from tpu_sednn.model.mlp import ModelConfig, init_params
+
+SR = 8000
+STFT = StftConfig.for_rate(SR)
+D = STFT.n_bins
+
+
+def _model(head="lps", seed=0):
+    cfg = ModelConfig(layersizes=(D * 12, 256, 256, D), dropout_vis=0.1,
+                      dropout_hid=0.2, dropout_mode="parity",
+                      output="sigmoid" if head in ("irm", "ibm") else "linear")
+    return init_params(jax.random.PRNGKey(seed), cfg), cfg
+
+
+def _wav(n, seed=1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / SR
+    return (0.3 * np.sin(2 * np.pi * 440 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+            + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+
+MEAN = np.zeros(D, np.float32)
+ISTD = np.full(D, 0.2, np.float32)
+
+
+def _chunks(x, sizes_seed):
+    rng = np.random.default_rng(sizes_seed)
+    chunks, i = [], 0
+    while i < len(x):
+        n = int(rng.integers(1, 900))
+        chunks.append(x[i : i + n])
+        i += n
+    return chunks
+
+
+@pytest.mark.parametrize("block_frames", [1, 8])
+def test_streaming_matches_offline_lps(block_frames):
+    params, cfg = _model()
+    ecfg = EnhanceConfig(stft=STFT, head="lps", min_gain_db=-10.0, max_gain_db=0.0)
+    wav = _wav(SR * 2 + 517)
+    ref = enhance_waveform(params, cfg, ecfg, wav, MEAN, ISTD)
+    se = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, block_frames=block_frames)
+    outs = [se.push(c) for c in _chunks(wav, 3)]
+    outs.append(se.flush())
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape
+    assert float(np.max(np.abs(got - ref))) < 5e-5
+
+
+def test_streaming_matches_offline_irm_with_target_norm():
+    params, cfg = _model(head="irm", seed=4)
+    ecfg = EnhanceConfig(stft=STFT, head="irm", mask_floor=0.05)
+    tn = (np.full(D, 0.3, np.float32), np.full(D, 0.7, np.float32))
+    wav = _wav(SR + 129, seed=9)
+    ref = enhance_waveform(params, cfg, ecfg, wav, MEAN, ISTD, target_norm=tn)
+    se = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, target_norm=tn)
+    got = np.concatenate([se.push(c) for c in _chunks(wav, 11)] + [se.flush()])
+    assert got.shape == ref.shape
+    assert float(np.max(np.abs(got - ref))) < 5e-5
+
+
+def test_streaming_int8_close_to_f32_stream():
+    params, cfg = _model(seed=6)
+    ecfg = EnhanceConfig(stft=STFT, head="lps")
+    wav = _wav(SR, seed=12)
+    f32 = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD)
+    q8 = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, quant="int8")
+    a = np.concatenate([f32.push(wav), f32.flush()])
+    b = np.concatenate([q8.push(wav), q8.flush()])
+    err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+    assert err < 0.05, err
+
+
+def test_streaming_rejects_global_options():
+    params, cfg = _model()
+    with pytest.raises(ValueError):
+        StreamingEnhancer(params, cfg,
+                          EnhanceConfig(stft=STFT, gv_mode="global"), MEAN, ISTD)
+    with pytest.raises(ValueError):
+        StreamingEnhancer(params, cfg,
+                          EnhanceConfig(stft=STFT, mask_smooth=5), MEAN, ISTD)
+
+
+def test_streaming_latency_and_progressivity():
+    """Output must begin well before the stream ends, within the documented
+    latency bound, and reset() must rearm the instance."""
+    params, cfg = _model()
+    ecfg = EnhanceConfig(stft=STFT, head="lps")
+    se = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, block_frames=1)
+    bound = se.algorithmic_latency_samples
+    # NAT warmup needs nat_frames full windows on top of the bound
+    warmup = (ecfg.nat_frames - 1) * STFT.hop + STFT.win_len
+    wav = _wav(SR * 2)
+    got_first_at = None
+    fed = 0
+    outs = []
+    for i in range(0, len(wav), 160):
+        out = se.push(wav[i : i + 160])
+        fed += len(wav[i : i + 160])
+        outs.append(out)
+        if got_first_at is None and out.size:
+            got_first_at = fed
+    assert got_first_at is not None and got_first_at <= bound + warmup
+    outs.append(se.flush())
+    assert sum(o.size for o in outs) == len(wav)
+    with pytest.raises(RuntimeError):
+        se.push(wav[:10])
+    se.reset()
+    ref = enhance_waveform(params, cfg, ecfg, wav, MEAN, ISTD)
+    got2 = np.concatenate([se.push(wav), se.flush()])
+    assert float(np.max(np.abs(got2 - ref))) < 5e-5
+
+
+def test_streaming_short_stream():
+    """A stream shorter than one analysis window yields silence of equal
+    length (no frames exist to decode)."""
+    params, cfg = _model()
+    se = StreamingEnhancer(params, cfg, EnhanceConfig(stft=STFT), MEAN, ISTD)
+    out1 = se.push(np.zeros(100, np.float32))
+    out2 = se.flush()
+    assert out1.size + out2.size == 100

@@ -4,6 +4,9 @@ from tpu_sednn.enhance.decode import (
     enhance_waveform,
     enhance_lps,
     equalize_gv,
+    finalize_lps,
     lps_from_mask,
+    make_serving_decoder,
     postprocess_mask,
 )
+from tpu_sednn.enhance.streaming import StreamingEnhancer

@@ -93,6 +93,20 @@ def enhance_lps(
         est = jnp.mean(normed[: enh_cfg.nat_frames], axis=0)
         x = jnp.concatenate([x, jnp.broadcast_to(est, (x.shape[0], normed.shape[1]))], axis=1)
     out = (forward_fn or forward_eval)(params, x, model_cfg)
+    return finalize_lps(out, noisy_lps, enh_cfg, target_norm=target_norm,
+                        gv_ref=gv_ref)
+
+
+def finalize_lps(
+    out: jnp.ndarray,
+    noisy_lps: jnp.ndarray,
+    enh_cfg: EnhanceConfig,
+    target_norm: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    gv_ref: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Raw model output (frames, d) -> enhanced LPS: target denormalization,
+    GV equalization, mask application, gain window — shared by the offline
+    decode (enhance_lps) and the streaming enhancer."""
     if target_norm is not None and enh_cfg.head == "lps":
         t_mean, t_inv_std = target_norm
         out = out / t_inv_std + t_mean
