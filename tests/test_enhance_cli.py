@@ -42,6 +42,20 @@ def test_enhance_cli_runs(tmp_path):
     y, sr2 = read_wav(out)
     assert sr2 == sr and len(y) == len(noisy) and np.isfinite(y).all()
 
+    # streaming and int8 variants of the same decode through the CLI
+    rc = main([out_dir, wav_in, "--wts", wts, "--norm", norm,
+               "--context", str(context), "--targ-offset", str(to),
+               "--stream", "4"])
+    assert rc == 0
+    y_stream, _ = read_wav(out)
+    np.testing.assert_allclose(y_stream, y, atol=2e-4)
+    rc = main([out_dir, wav_in, "--wts", wts, "--norm", norm,
+               "--context", str(context), "--targ-offset", str(to),
+               "--quant", "int8"])
+    assert rc == 0
+    y_q, _ = read_wav(out)
+    assert np.isfinite(y_q).all() and len(y_q) == len(y)
+
     # wrong-rate input without --sr must fail with a pointed message
     wav16 = str(tmp_path / "in16.wav")
     write_wav(wav16, noisy, 16000)

@@ -6,6 +6,7 @@ Matlab for it).  Here it is first-class:
         --wts mlp.wts --norm fea.norm [--layersizes 1548,2048,2048,2048,129]
         [--context 11] [--targ-offset 5] [--head lps|irm|ibm] [--sr 8000]
         [--targ-norm targ.norm] [--mask-floor 0.05] [--no-nat]
+        [--quant int8] [--stream BLOCK_FRAMES]
 
 Each input produces out_dir/<name>_enh.wav.
 """
@@ -52,6 +53,14 @@ def main(argv=None) -> int:
                          "models need keep-prob weight scaling at decode)")
     ap.add_argument("--hid-omit", type=float, default=0.0,
                     help="hid_omit the model was trained with")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="int8: w8a8 dynamic-quantized serving forward "
+                         "(model/quant.py; accuracy-gated in tests)")
+    ap.add_argument("--stream", type=int, default=0, metavar="BLOCK_FRAMES",
+                    help="decode through the causal StreamingEnhancer in "
+                         "blocks of this many frames (0 = offline decode); "
+                         "output is sample-exact vs offline, gv/smoothing "
+                         "must be off")
     args = ap.parse_args(argv)
 
     from tpu_sednn.dsp import StftConfig
@@ -108,8 +117,23 @@ def main(argv=None) -> int:
             mask_smooth=args.mask_smooth, gv_mode=args.gv_mode,
             min_gain_db=args.min_gain_db, max_gain_db=args.max_gain_db,
         )
-        y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
-                             target_norm=target_norm, gv_ref=gv_ref)
+        if args.stream > 0:
+            from tpu_sednn.enhance.streaming import StreamingEnhancer
+
+            se = StreamingEnhancer(params, mcfg, enh_cfg, mean, inv_std,
+                                   target_norm=target_norm,
+                                   block_frames=args.stream, quant=args.quant)
+            y = np.concatenate([se.push(x), se.flush()])
+        elif args.quant == "int8":
+            from tpu_sednn.enhance.decode import make_serving_decoder
+
+            dec = make_serving_decoder(params, mcfg, enh_cfg, mean, inv_std,
+                                       target_norm=target_norm, gv_ref=gv_ref,
+                                       quant="int8")
+            y = np.asarray(dec(x[None, :])[0])
+        else:
+            y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
+                                 target_norm=target_norm, gv_ref=gv_ref)
         out = os.path.join(
             args.out_dir,
             os.path.splitext(os.path.basename(path))[0] + "_enh.wav",
