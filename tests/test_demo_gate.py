@@ -87,9 +87,11 @@ def test_demo_gate_16k_tracked_thresholds():
         assert m["stoi_gain"] >= MIN_STOI_GAIN_16K, (name, m["stoi_gain"])
 
 
-# IRM mask-head FLAGSHIP (round-3 retrain, utterance-granular CV split,
-# decode params frozen from the held-out sweep): positive on EVERY metric —
-# +3.06/+6.58/+3.04 dB LSD, stoi +0.013..0.025, segsnr +0.37..+6.66 dB.
+# IRM mask-head FLAGSHIP (round-3 XL retrain: 2000 utts x 2 variants, 22
+# epochs, utterance-granular CV split, decode params frozen from the held-out
+# sweep; benchmarks/run_irm_xl.py): positive on EVERY metric —
+# +3.80/+6.57/+4.01 dB LSD, stoi +0.011..0.029, segsnr +0.43..+5.95 dB,
+# pesq(est) +0.22..+0.45.
 ART_IRM = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                        "demo_gate_irm.json")
 MIN_LSD_GAIN_IRM = {"test1": 2.0, "test2": 5.0, "test3": 2.0}
