@@ -129,3 +129,41 @@ def test_serving_decoder_matches_enhance_waveform(tmp_path):
     for i in range(len(wavs)):
         single = enhance_waveform(params, mcfg, ecfg, wavs[i], mean, istd)
         np.testing.assert_allclose(batch_out[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_decoder_ragged_lengths():
+    """make_bucketed_decoder: ragged utterances through length buckets match
+    the per-utterance decode everywhere except the trailing edge region
+    (zero-padding vs utterance-edge framing + splice lookahead), order and
+    lengths preserved."""
+    import jax
+
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.enhance.decode import (
+        EnhanceConfig, enhance_waveform, make_bucketed_decoder,
+    )
+    from tpu_sednn.model import ModelConfig, init_params
+
+    sr = 8000
+    stft = StftConfig.for_rate(sr)
+    d = stft.n_bins
+    mcfg = ModelConfig(layersizes=(d * 4, 32, d))
+    ecfg = EnhanceConfig(stft=stft, fea_context=3, targ_offset=1, nat=True)
+    params = init_params(jax.random.key(0), mcfg, scheme="glorot")
+    rng = np.random.default_rng(2)
+    mean = np.zeros(d, np.float32)
+    istd = np.full(d, 0.3, np.float32)
+    lengths = [3000, 15500, 7900, 3000, 70000]  # two buckets + one oversize
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1 for n in lengths]
+
+    decode_many = make_bucketed_decoder(
+        params, mcfg, ecfg, mean, istd, bucket_seconds=(0.5, 2.0), batch=2)
+    outs = decode_many(wavs)
+    assert [o.size for o in outs] == lengths
+    for w, o in zip(wavs, outs):
+        ref = enhance_waveform(params, mcfg, ecfg, w, mean, istd)
+        edge = stft.win_len + (ecfg.fea_context - ecfg.targ_offset) * stft.hop
+        interior = max(0, w.size - edge)
+        np.testing.assert_allclose(o[:interior], ref[:interior],
+                                   rtol=1e-4, atol=1e-5)
+        assert np.isfinite(o).all()

@@ -6,6 +6,7 @@ from tpu_sednn.enhance.decode import (
     equalize_gv,
     finalize_lps,
     lps_from_mask,
+    make_bucketed_decoder,
     make_serving_decoder,
     postprocess_mask,
 )

@@ -260,6 +260,68 @@ def make_serving_decoder(
     return decode
 
 
+def make_bucketed_decoder(
+    params: Params,
+    model_cfg: ModelConfig,
+    enh_cfg: EnhanceConfig,
+    mean: np.ndarray,
+    inv_std: np.ndarray,
+    target_norm: Tuple[np.ndarray, np.ndarray] | None = None,
+    gv_ref: np.ndarray | None = None,
+    quant: str = "none",
+    bucket_seconds: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0),
+    batch: int = 8,
+):
+    """Variable-length serving front-end over make_serving_decoder.
+
+    Real traffic has ragged utterance lengths; XLA wants static shapes. The
+    standard TPU serving answer is length bucketing: zero-pad each utterance
+    UP (at the end, so the NAT first-frames estimate is untouched) to the
+    smallest bucket, batch same-bucket utterances, run one compiled program
+    per bucket (at most len(bucket_seconds) compilations, ever), and trim
+    outputs back to the true lengths.
+
+    Padding semantics: outputs are identical to the unpadded per-utterance
+    decode except within the trailing edge region — the final analysis window
+    plus the splice lookahead, win_len + (fea_context - targ_offset)*hop
+    samples — where the decode sees zero-padding instead of utterance-edge
+    frame replication (tested bound in tests/test_enhance_cli.py).
+    Utterances longer than the largest bucket are decoded exactly at their
+    own length (one extra compilation each).
+
+    Returns decode_many(wavs: sequence of 1-D arrays) -> list of enhanced
+    1-D arrays in the same order.
+    """
+    buckets = sorted(int(round(s * enh_cfg.stft.sample_rate)) for s in bucket_seconds)
+    # one decoder closure; its inner jit caches one program per (batch, n)
+    # shape, i.e. per bucket actually seen
+    dec = make_serving_decoder(params, model_cfg, enh_cfg, mean, inv_std,
+                               target_norm=target_norm, gv_ref=gv_ref,
+                               quant=quant)
+
+    def decode_many(wavs) -> list:
+        wavs = [np.asarray(w, np.float32).ravel() for w in wavs]
+        by_bucket: dict[int, list] = {}
+        for i, w in enumerate(wavs):
+            n = next((b for b in buckets if b >= w.size), w.size)
+            by_bucket.setdefault(n, []).append(i)
+        out: list = [None] * len(wavs)
+        for n, idxs in by_bucket.items():
+            for j in range(0, len(idxs), batch):
+                group = idxs[j : j + batch]
+                block = np.zeros((batch, n), np.float32)
+                for r, i in enumerate(group):
+                    block[r, : wavs[i].size] = wavs[i]
+                for r in range(len(group), batch):  # pad batch: repeat row 0
+                    block[r] = block[0]
+                y = np.asarray(dec(block))
+                for r, i in enumerate(group):
+                    out[i] = y[r, : wavs[i].size]
+        return out
+
+    return decode_many
+
+
 def enhance_waveform(
     params: Params,
     model_cfg: ModelConfig,
