@@ -33,6 +33,20 @@ def test_make_pfile_from_wavs(tmp_path):
     mean, inv_std = load_norm(nf, 129)
     assert np.isfinite(mean).all() and (inv_std > 0).all()
 
+    # --normalize (target-pfile mode): frames are (raw - mean) * inv_std of
+    # the RAW build, and the emitted .norm records the raw statistics
+    from tpu_sednn.io.pfile import read_pfile_frames
+
+    pfn, nfn = str(tmp_path / "t.pfile"), str(tmp_path / "t.norm")
+    build_pfile(paths, pfn, nfn, shuffle_seed=1, normalize=True)
+    raw = read_pfile_frames(pf, 129, 0, n)
+    normed = read_pfile_frames(pfn, 129, 0, n)
+    mean_t, inv_std_t = load_norm(nfn, 129)
+    np.testing.assert_array_equal(mean_t, mean)
+    np.testing.assert_allclose(normed, (raw - mean) * inv_std, rtol=1e-5,
+                               atol=1e-5)
+    assert abs(float(normed.mean())) < 1e-3 and abs(float(normed.std()) - 1) < 0.05
+
 
 def test_extend_net_cli(tmp_path):
     """python -m tpu_sednn.tools.netgen extend — the Extend_rand_net[_boost]

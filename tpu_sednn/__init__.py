@@ -23,3 +23,18 @@ tools     gen_rand_net / extend_net / weight exporters
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Platform override for the CLI tools: this environment's sitecustomize pins
+# jax_platforms to the TPU plugin, which (a) the JAX_PLATFORMS env var cannot
+# undo and (b) makes every tool invocation claim the (single) chip — offline
+# tools like make_pfile/netgen/lenscp then fail or block whenever a training
+# process holds it.  TPU_SEDNN_PLATFORM=cpu forces the CPU backend in-process
+# before first backend use (the only mechanism that works here).
+_plat = _os.environ.get("TPU_SEDNN_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat
