@@ -2,8 +2,16 @@
 
 The reference serves its model through an external fp32 Matlab tool
 (README.md:39-48); this module is a TPU-native serving extension: w8a8
-dynamic quantization so the forward matmuls run on the MXU's int8 path
+dynamic quantization so the forward matmuls can run on the MXU's int8 path
 (~2x the bf16 peak on v5e-class chips).
+
+MEASURED RESULT (v5e, BASELINE.md round-3 serving table): no throughput win
+over the f32/bf16 decoder on this chip/backend (77.3k vs 80.7k audio-s/s at
+batch 64) — the wav->wav decode is not matmul-bound enough for the matmul
+savings to beat the dynamic-quantization overhead.  The path is kept for
+deployments where it pays (bigger models, matmul-bound servers, memory-
+footprint limits: int8 weights are 4x smaller); accuracy is what this repo
+gates (tests/test_quant.py).
 
 Scheme (standard w8a8 dynamic):
 * weights: per-output-channel symmetric int8, scale sw[j] = max|W[:,j]|/127,
