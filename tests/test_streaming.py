@@ -121,6 +121,24 @@ def test_streaming_latency_and_progressivity():
     assert float(np.max(np.abs(got2 - ref))) < 5e-5
 
 
+def test_streaming_matches_offline_16k():
+    """Full-band 257-bin config (the clips' native rate)."""
+    sr16 = 16000
+    stft16 = StftConfig.for_rate(sr16)
+    d16 = stft16.n_bins
+    cfg = ModelConfig(layersizes=(d16 * 12, 128, d16))
+    params = init_params(jax.random.PRNGKey(8), cfg)
+    ecfg = EnhanceConfig(stft=stft16, head="lps")
+    mean16 = np.zeros(d16, np.float32)
+    istd16 = np.full(d16, 0.2, np.float32)
+    wav = _wav(sr16 + 333, seed=21)
+    ref = enhance_waveform(params, cfg, ecfg, wav, mean16, istd16)
+    se = StreamingEnhancer(params, cfg, ecfg, mean16, istd16)
+    got = np.concatenate([se.push(c) for c in _chunks(wav, 5)] + [se.flush()])
+    assert got.shape == ref.shape
+    assert float(np.max(np.abs(got - ref))) < 5e-5
+
+
 def test_streaming_short_stream():
     """A stream shorter than one analysis window yields silence of equal
     length (no frames exist to decode)."""
