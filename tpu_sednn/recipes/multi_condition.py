@@ -270,6 +270,12 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
             "pesq_noisy": pesq(cl, nz, mc.sample_rate),
             "pesq_enh": pesq(cl, enh, mc.sample_rate),
         }
+        # composite MOS estimates (CSIG/CBAK/COVL, Hu & Loizou) — clean truth
+        # exists for the synthetic eval, unlike the demo-clip proxy gate
+        from tpu_sednn.metrics.composite import composite
+
+        comp = composite(cl, enh, mc.sample_rate)
+        m.update({f"{k}_enh": comp[k] for k in ("csig", "cbak", "covl")})
         results["eval"][f"synthetic_{snr_db:g}dB"] = m
         log.info(f"[mc] synth {snr_db:g} dB: SNR {m['snr_noisy']:.1f}->{m['snr_enh']:.1f}, "
                  f"STOI {m['stoi_noisy']:.3f}->{m['stoi_enh']:.3f}")
