@@ -472,3 +472,23 @@ def test_dp_resident_row_tiled_matches_single_chip():
         np.testing.assert_allclose(np.asarray(st2.deltas["b"][l]),
                                    np.asarray(st1.deltas["b"][l]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_resident_vmem_estimator_and_auto_fallback():
+    """The 16 kHz full-band net must NOT select the resident engine (its
+    pinned state + windows exceed the 128 MiB mosaic VMEM budget — a real
+    on-chip compile failure, 129.02/128.00 MiB); the canonical 8 kHz net and
+    the bf16 sr_state variant must fit."""
+    from tpu_sednn.ops.resident_chunk import (
+        VMEM_BUDGET_BYTES, resident_fits_vmem, resident_vmem_bytes,
+    )
+
+    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=128)
+    cfg_8k = ModelConfig(layersizes=(1548, 2048, 2048, 2048, 129))
+    cfg_16k = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
+    assert resident_fits_vmem(cfg_8k, opt)
+    assert not resident_fits_vmem(cfg_16k, opt)
+    assert resident_fits_vmem(cfg_16k, opt, sr_state=True)
+    # the estimator tracks the compiler's report for the failing case
+    assert resident_vmem_bytes(cfg_16k, opt) > 120 * 2**20
+    assert VMEM_BUDGET_BYTES == 128 * 2**20

@@ -36,6 +36,25 @@ from tpu_sednn.utils.logging import Logger
 _RUNNER_MEMO: Dict = {}
 
 
+def _auto_engine(cfg: ModelConfig, opt: OptConfig,
+                 engine_kwargs: Optional[Dict] = None) -> str:
+    """engine="auto" resolution: the VMEM-resident megakernel on a TPU
+    backend IF its pinned state + input windows fit the mosaic VMEM budget
+    (the canonical 8 kHz net uses ~99 MB of the 128 MB; the 16 kHz full-band
+    3084-2048x3-257 net needs ~129 MB and must fall back to XLA — found the
+    hard way: the compile fails 1.02 MB over budget).  Callers wanting the
+    resident engine for over-budget models can request engine="resident" with
+    sr_state=True (bf16 state, clean rule) explicitly."""
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from tpu_sednn.ops.resident_chunk import resident_fits_vmem
+
+    kw = engine_kwargs or {}
+    fits = resident_fits_vmem(cfg, opt, sr_state=kw.get("sr_state", False),
+                              tile_rows=kw.get("tile_rows"))
+    return "resident" if fits else "xla"
+
+
 def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
                       n_data_shards: int = 1, pre_grouped: bool = False,
                       **engine_kwargs):
@@ -65,7 +84,7 @@ def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
     first — callers must always pass them explicitly).
     """
     if engine == "auto":
-        engine = "resident" if jax.default_backend() == "tpu" else "xla"
+        engine = _auto_engine(cfg, opt, engine_kwargs)
     memo_key = (cfg, opt.bunchsize, engine, n_data_shards, pre_grouped,
                 tuple(sorted(engine_kwargs.items())))
     if memo_key in _RUNNER_MEMO:
@@ -191,7 +210,7 @@ def train_epoch_pfile(
     # (the multi-GPU bunch-split of BP_GPU.cu:29-37, actually enabled)
     resolved_engine = engine
     if resolved_engine == "auto":
-        resolved_engine = "resident" if jax.default_backend() == "tpu" else "xla"
+        resolved_engine = _auto_engine(cfg, opt, engine_kwargs)
     n_proc = jax.process_count()
     multi_process = n_proc > 1 and n_data_shards > 1
     if device_splice is None:
