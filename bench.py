@@ -174,7 +174,7 @@ def bench_decode(seconds: float, reps: int, batch: int = 64,
     cfg_stft = StftConfig.for_rate(sample_rate)
     d = cfg_stft.n_bins
     layers = (d * 11 + d, 2048, 2048, 2048, d)
-    mask_head = head in ("irm", "ibm")
+    mask_head = head in ("irm", "ibm", "psm")
     mcfg = ModelConfig(layersizes=layers, dropout_vis=0.1, dropout_hid=0.2,
                        dropout_mode="parity",
                        output="sigmoid" if mask_head else "linear")

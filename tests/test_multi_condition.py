@@ -83,3 +83,25 @@ def test_multi_condition_irm_head(tmp_path):
     ev = res["eval"]["synthetic_0dB"]
     assert ev["snr_enh"] > ev["snr_noisy"]
     assert ev["stoi_enh"] > ev["stoi_noisy"] - 0.02
+
+
+def test_multi_condition_psm_head(tmp_path):
+    """The phase-sensitive-mask variant (Erdogan'15) trains end-to-end via
+    the recipe: waveform-STFT targets, same sigmoid head + mask decode."""
+    mc = MultiConditionConfig(
+        out_dir=str(tmp_path / "mc_psm"),
+        n_utts=16,
+        snrs=(0.0, 5.0),
+        noise_kinds=("white",),
+        fea_context=5,
+        targ_offset=2,
+        hidden=(128, 128),
+        n_epochs=5,
+        bunchsize=64,
+        head="psm",
+    )
+    res = run_multi_condition(mc, logger=Logger(stream=None))
+    assert res["cv_hist"][-1] < res["cv_hist"][0]
+    ev = res["eval"]["synthetic_0dB"]
+    assert ev["snr_enh"] > ev["snr_noisy"]
+    assert json.load(open(str(tmp_path / "mc_psm" / "run.json")))["head"] == "psm"

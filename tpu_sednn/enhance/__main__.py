@@ -4,7 +4,7 @@ Matlab for it).  Here it is first-class:
 
     python -m tpu_sednn.enhance out_dir in1.wav [in2.wav ...] \
         --wts mlp.wts --norm fea.norm [--layersizes 1548,2048,2048,2048,129]
-        [--context 11] [--targ-offset 5] [--head lps|irm|ibm] [--sr 8000]
+        [--context 11] [--targ-offset 5] [--head lps|irm|ibm|psm] [--sr 8000]
         [--targ-norm targ.norm] [--mask-floor 0.05] [--no-nat]
         [--quant int8] [--stream BLOCK_FRAMES]
 
@@ -30,7 +30,7 @@ def main(argv=None) -> int:
                     help="comma-separated; default inferred from the .wts file")
     ap.add_argument("--context", type=int, default=11)
     ap.add_argument("--targ-offset", type=int, default=5)
-    ap.add_argument("--head", choices=["lps", "irm", "ibm"], default="lps")
+    ap.add_argument("--head", choices=["lps", "irm", "ibm", "psm"], default="lps")
     ap.add_argument("--sr", type=int, default=None, help="resample inputs to this rate")
     ap.add_argument("--targ-norm", default=None,
                     help=".norm for target denormalization (target-normalized models)")
@@ -90,7 +90,7 @@ def main(argv=None) -> int:
 
     mcfg = ModelConfig(
         layersizes=tuple(sizes), hidden=args.hidden,
-        output="sigmoid" if args.head in ("irm", "ibm") else "linear",
+        output="sigmoid" if args.head in ("irm", "ibm", "psm") else "linear",
         # parity-dropout-trained weights need keep-prob scaling at inference
         # (cv_bunch_single semantics); forward_eval applies it iff set here
         dropout_vis=args.visible_omit, dropout_hid=args.hid_omit,

@@ -34,7 +34,7 @@ class EnhanceConfig:
     targ_offset: int = 5
     nat: bool = True
     nat_frames: int = 6
-    head: str = "lps"  # "lps" | "irm" | "ibm"
+    head: str = "lps"  # "lps" | "irm" | "ibm" | "psm" (all masks decode alike)
     mask_floor: float = 0.0  # mask post-processing (Interspeech'15 style)
     mask_smooth: int = 0  # moving-average width over time, 0/1 = off
     ibm_threshold: float = 0.5

@@ -156,7 +156,7 @@ def main(argv=None) -> int:
     dr_vis, dr_hid = manifest.get("dropout", (0.1, 0.2))
     mcfg = ModelConfig(layersizes=sizes, dropout_vis=dr_vis, dropout_hid=dr_hid,
                        dropout_mode="parity",
-                       output="sigmoid" if head in ("irm", "ibm") else "linear")
+                       output="sigmoid" if head in ("irm", "ibm", "psm") else "linear")
     mean, inv_std = load_norm(os.path.join(run_dir, "fea.norm"), d)
     tn = None
     tnorm_path = os.path.join(run_dir, "targ.norm")

@@ -41,9 +41,10 @@ class MultiConditionConfig:
     ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
     # training head: "irm" mask estimation (the Interspeech'15 variant and
-    # THIS REPO'S FLAGSHIP — positive on every demo-gate metric), "ibm", or
-    # "lps" regression (TASLP'15; same trainer, different target pfile —
-    # finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
+    # THIS REPO'S FLAGSHIP — positive on every demo-gate metric), "ibm",
+    # "psm" (phase-sensitive mask, Erdogan'15 — phase-aware targets, same
+    # sigmoid head and decode), or "lps" regression (TASLP'15; same trainer,
+    # different target pfile — finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
     head: str = "irm"
     ibm_lc_db: float = 5.0  # IBM local criterion (the reference's LC5dB)
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
@@ -95,7 +96,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     noisy_lps = [np.asarray(feat(jnp.asarray(n))) for n in noisys]
     audio_seconds = sum(len(c) for c in cleans) / mc.sample_rate
 
-    mask_head = mc.head in ("irm", "ibm")
+    mask_head = mc.head in ("irm", "ibm", "psm")
     target_norm = mc.target_norm and not mask_head  # masks are already [0,1]
 
     # train/CV split at CLEAN-UTTERANCE granularity (ADVICE r2): hold out
@@ -121,26 +122,40 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     gv_ref = np.concatenate(tr_clean).var(axis=0)
     np.savetxt(os.path.join(mc.out_dir, "gv.txt"), gv_ref)
 
-    if mask_head:
+    if mc.head == "psm":
+        # phase-sensitive mask (Erdogan et al. 2015): needs clean/noisy PHASE,
+        # so targets come from the waveforms' STFTs, not the LPS pair
+        from tpu_sednn.data.masks import psm_from_stft
+        from tpu_sednn.dsp.stft import stft_real_imag
+
+        ri = jax.jit(lambda s: stft_real_imag(s, cfg_stft))
+
+        def _psm(c_wav, n_wav):
+            cre, cim = ri(jnp.asarray(c_wav))
+            yre, yim = ri(jnp.asarray(n_wav))
+            return psm_from_stft(np.asarray(cre), np.asarray(cim),
+                                 np.asarray(yre), np.asarray(yim))
+
+        targets_all = [_psm(c, n) for c, n in zip(cleans, noisys)]
+    elif mask_head:
         # Interspeech'15 variant: same trainer, mask targets + sigmoid head
         from tpu_sednn.data.masks import ibm_from_lps, irm_from_lps
 
-        def mk_targets(cleans, noisys):
-            return [
-                irm_from_lps(c, n) if mc.head == "irm"
-                else ibm_from_lps(c, n, mc.ibm_lc_db)
-                for c, n in zip(cleans, noisys)
-            ]
+        targets_all = [
+            irm_from_lps(c, n) if mc.head == "irm"
+            else ibm_from_lps(c, n, mc.ibm_lc_db)
+            for c, n in zip(clean_lps, noisy_lps)
+        ]
     else:
-        def mk_targets(cleans, noisys):
-            return cleans
+        targets_all = clean_lps
+    tr_tgt, cv_tgt = targets_all[:split], targets_all[split:]
     x, t = build_training_arrays(
-        tr_noisy, mk_targets(tr_clean, tr_noisy), mc.fea_context,
+        tr_noisy, tr_tgt, mc.fea_context,
         mc.targ_offset, nat=True,
         mean=mean, inv_std=inv_std, targ_mean=t_mean, targ_inv_std=t_inv_std,
     )
     x_cv, t_cv = build_training_arrays(
-        cv_noisy, mk_targets(cv_clean, cv_noisy), mc.fea_context,
+        cv_noisy, cv_tgt, mc.fea_context,
         mc.targ_offset, nat=True,
         mean=mean, inv_std=inv_std, targ_mean=t_mean, targ_inv_std=t_inv_std,
     )

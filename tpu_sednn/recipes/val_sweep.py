@@ -129,7 +129,7 @@ def sweep_decode_params(params, mcfg, ecfg_base, clips, mean, inv_std,
     """
     from dataclasses import replace
 
-    mask_head = ecfg_base.head in ("irm", "ibm")
+    mask_head = ecfg_base.head in ("irm", "ibm", "psm")
     if grid == "full":
         gains = [(None, None), (-8.0, 0.0), (-10.0, 0.0), (-13.0, 0.0),
                  (-16.0, 0.0), (-20.0, 0.0)]
@@ -189,7 +189,7 @@ def sweep_run_dir(run_dir: str, grid: str = "small",
     dr = manifest.get("dropout", (0.1, 0.2))
     mcfg = ModelConfig(layersizes=sizes, dropout_vis=dr[0], dropout_hid=dr[1],
                        dropout_mode="parity",
-                       output="sigmoid" if head in ("irm", "ibm") else "linear")
+                       output="sigmoid" if head in ("irm", "ibm", "psm") else "linear")
     mean, inv_std = load_norm(os.path.join(run_dir, "fea.norm"), d)
     tn = None
     if os.path.exists(os.path.join(run_dir, "targ.norm")):
