@@ -94,7 +94,7 @@ def test_demo_gate_16k_tracked_thresholds():
 # pesq(est) +0.22..+0.45.
 ART_IRM = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                        "demo_gate_irm.json")
-MIN_LSD_GAIN_IRM = {"test1": 2.0, "test2": 5.0, "test3": 2.0}
+MIN_LSD_GAIN_IRM = {"test1": 3.0, "test2": 5.5, "test3": 3.0}
 
 
 def test_demo_gate_irm_tracked_thresholds():
