@@ -124,17 +124,28 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
 
     if mc.head == "psm":
         # phase-sensitive mask (Erdogan et al. 2015): needs clean/noisy PHASE,
-        # so targets come from the waveforms' STFTs, not the LPS pair
+        # so targets come from the waveforms' STFTs, not the LPS pair.
+        # Host numpy on purpose: target prep is per-utterance VARIABLE-length,
+        # and a jitted STFT would recompile per distinct length — over this
+        # environment's remote-compile relay that costs tens of minutes for a
+        # 2000-utterance corpus (measured; the numpy path is seconds).
         from tpu_sednn.data.masks import psm_from_stft
-        from tpu_sednn.dsp.stft import stft_real_imag
+        from tpu_sednn.dsp.stft import _rdft_matrices
 
-        ri = jax.jit(lambda s: stft_real_imag(s, cfg_stft))
+        cos_m, sin_m = _rdft_matrices(cfg_stft.win_len, cfg_stft.n_fft,
+                                      cfg_stft.window)
+
+        def _ri_np(wav):
+            n_frames = 1 + (len(wav) - cfg_stft.win_len) // cfg_stft.hop
+            idx = (np.arange(n_frames)[:, None] * cfg_stft.hop
+                   + np.arange(cfg_stft.win_len)[None, :])
+            fr = np.asarray(wav, np.float32)[idx]
+            return fr @ cos_m, fr @ sin_m
 
         def _psm(c_wav, n_wav):
-            cre, cim = ri(jnp.asarray(c_wav))
-            yre, yim = ri(jnp.asarray(n_wav))
-            return psm_from_stft(np.asarray(cre), np.asarray(cim),
-                                 np.asarray(yre), np.asarray(yim))
+            cre, cim = _ri_np(c_wav)
+            yre, yim = _ri_np(n_wav)
+            return psm_from_stft(cre, cim, yre, yim)
 
         targets_all = [_psm(c, n) for c, n in zip(cleans, noisys)]
     elif mask_head:
