@@ -408,8 +408,8 @@ def _demo_gate_summary():
                                 timeout=10).stdout.strip() or None
     except Exception:
         commit = None
-    for tag, fn in (("lps", "demo_gate.json"), ("irm", "demo_gate_irm.json"),
-                    ("16k", "demo_gate_16k.json")):
+    for tag, fn in (("psm", "demo_gate_psm.json"), ("lps", "demo_gate.json"),
+                    ("irm", "demo_gate_irm.json"), ("16k", "demo_gate_16k.json")):
         p = os.path.join(here, "artifacts", fn)
         if not os.path.exists(p):
             continue

@@ -108,6 +108,27 @@ def test_demo_gate_irm_tracked_thresholds():
         assert m["stoi_gain"] >= 0.0, (name, m["stoi_gain"])  # mask head: positive
 
 
+# PSM mask-head FLAGSHIP (round 3, benchmarks/run_psm_full.py): the
+# phase-sensitive mask head at the same scale/schedule/sweep as the XL IRM
+# run, dominating it on 8 of 9 gate metrics — +5.18/+7.62/+5.02 dB LSD,
+# stoi +0.005..0.030, segsnr +0.43..+6.75 dB, pesq(est) +0.20..+0.51.
+ART_PSM = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "demo_gate_psm.json")
+MIN_LSD_GAIN_PSM = {"test1": 4.0, "test2": 6.5, "test3": 4.0}
+
+
+def test_demo_gate_psm_flagship_tracked_thresholds():
+    if not os.path.exists(ART_PSM):
+        pytest.skip("artifacts/demo_gate_psm.json not yet produced (TPU run)")
+    res = json.load(open(ART_PSM))
+    for name, min_gain in MIN_LSD_GAIN_PSM.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+        assert m["stoi_gain"] >= 0.0, (name, m["stoi_gain"])
+        assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
+
+
 # Canonical pfile-recipe model (benchmarks/run_tpu_round3.py stage D): the
 # 20-epoch momentum-ramp recipe through the byte-exact FILE/CLI path — the
 # reference's actual operating mode.  Measured +2.34/+2.98/+3.80 dB LSD.

@@ -40,12 +40,12 @@ class MultiConditionConfig:
     seed: int = 0
     ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
-    # training head: "irm" mask estimation (the Interspeech'15 variant and
-    # THIS REPO'S FLAGSHIP — positive on every demo-gate metric), "ibm",
-    # "psm" (phase-sensitive mask, Erdogan'15 — phase-aware targets, same
-    # sigmoid head and decode), or "lps" regression (TASLP'15; same trainer,
-    # different target pfile — finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
-    head: str = "irm"
+    # training head: "psm" phase-sensitive mask (Erdogan'15; THIS REPO'S
+    # FLAGSHIP — dominates the IRM run on 8/9 demo-gate metrics at equal
+    # scale, BASELINE.md), "irm" (the Interspeech'15 variant), "ibm", or
+    # "lps" regression (TASLP'15; same trainer, different target pfile —
+    # finetune_...NAT.pl:50 "estIBM_refCLEAN_LC5dB")
+    head: str = "psm"
     ibm_lc_db: float = 5.0  # IBM local criterion (the reference's LC5dB)
     target_norm: bool = True  # normalize targets (clean-mode stabilizer)
     gv_mode: str = "off"  # decode-time GV equalization in eval: off|global|per-dim
