@@ -13,4 +13,5 @@ from tpu_sednn.data.masks import (
     ibm_from_clean_noise,
     irm_from_lps,
     ibm_from_lps,
+    psm_from_stft,
 )
