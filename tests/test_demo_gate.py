@@ -28,7 +28,8 @@ MIN_LSD_GAIN = {"test1": 4.5, "test2": 5.5, "test3": 6.5}
 # clean (no clean truth exists for these recordings): the lps decode, chosen
 # for POSITIVE held-out STOI vs clean (+0.069, artifacts/mc_full_r2/
 # val_sweep.json), suppresses more than the shipped processing and so reads
-# lower on this proxy.  The IRM FLAGSHIP gate below requires >= 0.  Bound
+# lower on this proxy.  The mask-head gates below (IRM + the PSM flagship)
+# require >= 0.  Bound
 # the lps proxy loosely as a regression tripwire (measured worst -0.099).
 MIN_STOI_GAIN = -0.15
 
@@ -87,11 +88,11 @@ def test_demo_gate_16k_tracked_thresholds():
         assert m["stoi_gain"] >= MIN_STOI_GAIN_16K, (name, m["stoi_gain"])
 
 
-# IRM mask-head FLAGSHIP (round-3 XL retrain: 2000 utts x 2 variants, 22
-# epochs, utterance-granular CV split, decode params frozen from the held-out
-# sweep; benchmarks/run_irm_xl.py): positive on EVERY metric —
-# +3.80/+6.57/+4.01 dB LSD, stoi +0.011..0.029, segsnr +0.43..+5.95 dB,
-# pesq(est) +0.22..+0.45.
+# IRM mask head (round-3 XL retrain: 2000 utts x 2 variants, 22 epochs,
+# utterance-granular CV split, decode params frozen from the held-out sweep;
+# benchmarks/run_irm_xl.py): positive on EVERY metric — +3.80/+6.57/+4.01 dB
+# LSD, stoi +0.011..0.029, segsnr +0.43..+5.95 dB, pesq(est) +0.22..+0.45.
+# Superseded as flagship by the PSM head (gate below).
 ART_IRM = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                        "demo_gate_irm.json")
 MIN_LSD_GAIN_IRM = {"test1": 3.0, "test2": 5.5, "test3": 3.0}
