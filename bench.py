@@ -349,8 +349,9 @@ def main():
     decode = bench_decode(seconds=64.0, reps=reps)
     decode_16k = bench_decode(seconds=32.0, reps=reps, sample_rate=16000)
     decode_irm = bench_decode(seconds=64.0, reps=reps, head="irm")
-    # int8 serving path (model/quant.py): w8a8 dynamic quant, hidden matmuls
-    # on the int8 MXU (~2x bf16 peak); accuracy gated in tests/test_quant.py
+    # int8 serving path (model/quant.py): w8a8 dynamic quant — MEASURED no
+    # throughput win vs f32 on this chip (decode is not matmul-bound,
+    # BASELINE.md); tracked for regressions, accuracy gated in tests/test_quant.py
     decode_int8 = bench_decode(seconds=64.0, reps=reps, quant="int8")
     dropout_check = validate_dropout()
     dp_dropout = validate_dp_dropout()

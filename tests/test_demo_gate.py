@@ -29,9 +29,10 @@ MIN_LSD_GAIN = {"test1": 4.5, "test2": 5.5, "test3": 6.5}
 # for POSITIVE held-out STOI vs clean (+0.069, artifacts/mc_full_r2/
 # val_sweep.json), suppresses more than the shipped processing and so reads
 # lower on this proxy.  The mask-head gates below (IRM + the PSM flagship)
-# require >= 0.  Bound
-# the lps proxy loosely as a regression tripwire (measured worst -0.099).
-MIN_STOI_GAIN = -0.15
+# require >= 0.  This bound is a regression TRIPWIRE, not a quality bar: it
+# sits just under the worst measured proxy value (-0.099) purely to catch a
+# retraining collapse; quality claims ride on the >= 0 mask-head gates.
+STOI_PROXY_TRIPWIRE = -0.15
 
 
 def test_demo_clip_eval_runs_cpu(tmp_path):
@@ -67,14 +68,16 @@ def test_demo_gate_tracked_thresholds():
         assert m["lsd_gain"] >= min_gain, (
             f"{name}: lsd_gain {m['lsd_gain']} < tracked {min_gain} — "
             "enhanced output regressed vs the shipped SEDNN reference")
-        assert m["stoi_gain"] >= MIN_STOI_GAIN, (name, m["stoi_gain"])
+        assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE, (name, m["stoi_gain"])
 
 
 # 16 kHz full-band variant (benchmarks/run_16k_full.py): gates the clips at
 # their NATIVE rate.  Round-3 re-score with held-out-frozen decode params
 # measured +3.67/+3.02/+8.41 dB; thresholds with margin.
 MIN_LSD_GAIN_16K = {"test1": 2.5, "test2": 2.0, "test3": 7.0}
-MIN_STOI_GAIN_16K = -0.25  # proxy-vs-shipped tripwire (measured worst -0.157)
+# proxy-vs-shipped regression TRIPWIRE (not a quality bar; worst measured
+# -0.157) — see STOI_PROXY_TRIPWIRE above
+STOI_PROXY_TRIPWIRE_16K = -0.25
 
 
 def test_demo_gate_16k_tracked_thresholds():
@@ -85,7 +88,7 @@ def test_demo_gate_16k_tracked_thresholds():
         m = res[name]
         assert m["finite"], name
         assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
-        assert m["stoi_gain"] >= MIN_STOI_GAIN_16K, (name, m["stoi_gain"])
+        assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE_16K, (name, m["stoi_gain"])
 
 
 # IRM mask head (round-3 XL retrain: 2000 utts x 2 variants, 22 epochs,

@@ -36,5 +36,23 @@ _plat = _os.environ.get("TPU_SEDNN_PLATFORM")
 if _plat:
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _plat)
+    try:  # the override only works BEFORE first backend use; detect and warn
+        from jax._src import xla_bridge as _xb
+
+        _initialized = _xb.backends_are_initialized()
+    except Exception:  # pragma: no cover - private-API drift across versions
+        _initialized = False
+    if _initialized:
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"TPU_SEDNN_PLATFORM={_plat!r} is set, but a JAX backend was "
+            "already initialized before `import tpu_sednn`; the platform "
+            "override has NO effect. Import tpu_sednn before any JAX "
+            "computation (or start a fresh process).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    else:
+        _jax.config.update("jax_platforms", _plat)
 del _os, _plat

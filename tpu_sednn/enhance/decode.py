@@ -223,9 +223,11 @@ def make_serving_decoder(
     * normalization / GV constants put on device once;
     * one jitted vmapped program per utterance length (equal-length batches —
       a server pads/buckets utterances to a few lengths);
-    * quant="int8": w8a8 dynamic quantization (model/quant.py) so the hidden
-      matmuls run on the int8 MXU path (~2x bf16 peak); output layer stays
-      float. Accuracy gated in tests/test_quant.py.
+    * quant="int8": w8a8 dynamic quantization (model/quant.py). MEASURED NO
+      WIN vs f32 on this chip (77.3k vs 80.7k audio-s/s at batch 64 — decode
+      is not matmul-bound; BASELINE.md round-3 serving table). Kept for
+      deployments where the int8 MXU path pays (bigger/matmul-bound models,
+      4x-smaller weight footprint); accuracy gated in tests/test_quant.py.
 
     Returns decode(wavs: (batch, n_samples)) -> (batch, n_samples) enhanced.
     """

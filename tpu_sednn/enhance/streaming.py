@@ -174,10 +174,16 @@ class StreamingEnhancer:
         samples = np.asarray(samples, np.float32).ravel()
         self._n_in += samples.size
         self._raw = np.concatenate([self._raw, samples])
-        while self._raw.size >= self._win:
-            self._frames.append(self._raw[: self._win].copy())
-            self._raw = self._raw[self._hop :]
-            self._n_frames += 1
+        if self._raw.size >= self._win:
+            # extract ALL complete frames in one vectorized gather (a per-frame
+            # re-slice loop is O(N^2/hop) memcpy for a large single push — the
+            # CLI --stream path pushes the whole file at once; ADVICE r3)
+            n_new = (self._raw.size - self._win) // self._hop + 1
+            idx = (np.arange(n_new)[:, None] * self._hop
+                   + np.arange(self._win)[None, :])
+            self._frames.extend(self._raw[idx])
+            self._raw = self._raw[n_new * self._hop:]
+            self._n_frames += n_new
         self._maybe_nat()
         self._run_ready_blocks(final=False)
         return self._emit(limit=self._next_center * self._hop)

@@ -93,7 +93,10 @@ def llr(clean: np.ndarray, processed: np.ndarray, fs: int) -> float:
         return 0.0
     vals = np.sort(np.asarray(vals))
     keep = max(1, int(round(len(vals) * 0.95)))
-    return float(np.clip(vals[:keep].mean(), 0.0, 2.0))
+    # no clip on the trimmed mean — matching Hu & Loizou's composite.m (the
+    # final CSIG/CBAK/COVL values are range-clipped instead); clipping here
+    # shifted composites upward on badly degraded signals (ADVICE r3)
+    return float(vals[:keep].mean())
 
 
 # ---------------------------------------------------------------------------

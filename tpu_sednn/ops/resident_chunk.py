@@ -53,10 +53,11 @@ _LAYER_STRIDE = 104729
 # the mosaic program VMEM budget requested by _resident_call (v5e-class);
 # footprint estimates leave headroom for kernel temporaries below it
 VMEM_BUDGET_BYTES = 128 * 1024 * 1024
-# per-layer activation/grad temporaries measured ~5.5 MiB over the estimate
-# on the 16 kHz net (129.02 MiB reported vs 123.5 estimated); 8 MiB headroom
-# keeps both decisions correct (8 kHz: 95.9 -> fits; 16 kHz: 123.5 -> falls
-# back, matching the observed over-budget compile failure)
+# per-layer activation/grad temporaries measured ~5.5 MiB over the
+# resident_vmem_bytes estimate on the 16 kHz net (mosaic reported 129.02 MiB
+# used vs 123.5 MiB estimated); 8 MiB headroom keeps both decisions correct
+# (8 kHz: 95.9 -> fits; 16 kHz f32: 123.5 -> falls back, matching the
+# observed over-budget compile failure)
 _VMEM_HEADROOM_BYTES = 8 * 1024 * 1024
 
 
@@ -64,11 +65,12 @@ def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
                         sr_state: bool = False,
                         tile_rows: int | None = None) -> int:
     """Estimated VMEM footprint of the resident megakernel's pinned state +
-    double-buffered input windows (the dominant terms; validated against the
-    XLA allocator report of the 3084-2048x3-257 model: estimate 129.5 MB vs
-    reported 129.02 MB used).  Weights+momentum are fp32, or bf16 when
-    sr_state; biases and x/t windows are always fp32.  Kernel temporaries
-    (per-layer activations/grads) are covered by _VMEM_HEADROOM_BYTES."""
+    double-buffered input windows (the dominant terms).  Validation datapoint
+    (16 kHz 3084-2048x3-257 net): this estimate gives 123.5 MiB while the
+    failed mosaic compile reported 129.02 MiB actually used — the ~5.5 MiB
+    delta is per-layer activation/grad temporaries, which is exactly what
+    _VMEM_HEADROOM_BYTES (8 MiB) budgets for.  Weights+momentum are fp32, or
+    bf16 when sr_state; biases and x/t windows are always fp32."""
     padded = [_round_up(s) for s in cfg.layersizes]
     w_elems = sum(a * b for a, b in zip(padded[:-1], padded[1:]))
     b_elems = sum(padded[1:])
