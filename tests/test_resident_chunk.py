@@ -475,10 +475,11 @@ def test_dp_resident_row_tiled_matches_single_chip():
 
 
 def test_resident_vmem_estimator_and_auto_fallback():
-    """The 16 kHz full-band net must NOT select the resident engine (its
+    """The 16 kHz full-band net must NOT select the f32 resident engine (its
     pinned state + windows exceed the 128 MiB mosaic VMEM budget — a real
-    on-chip compile failure, 129.02/128.00 MiB); the canonical 8 kHz net and
-    the bf16 sr_state variant must fit."""
+    on-chip compile failure, 129.02/128.00 MiB); the canonical 8 kHz net,
+    the bf16 sr_state variant, and the bf16-momentum sr_delta variant must
+    fit."""
     from tpu_sednn.ops.resident_chunk import (
         VMEM_BUDGET_BYTES, resident_fits_vmem, resident_vmem_bytes,
     )
@@ -489,6 +490,79 @@ def test_resident_vmem_estimator_and_auto_fallback():
     assert resident_fits_vmem(cfg_8k, opt)
     assert not resident_fits_vmem(cfg_16k, opt)
     assert resident_fits_vmem(cfg_16k, opt, sr_state=True)
+    assert resident_fits_vmem(cfg_16k, opt, sr_delta=True)
+    # sr_delta sits between sr_state (all-bf16) and f32
+    assert (resident_vmem_bytes(cfg_16k, opt, sr_state=True)
+            < resident_vmem_bytes(cfg_16k, opt, sr_delta=True)
+            < resident_vmem_bytes(cfg_16k, opt))
     # the estimator tracks the compiler's report for the failing case
     assert resident_vmem_bytes(cfg_16k, opt) > 120 * 2**20
     assert VMEM_BUDGET_BYTES == 128 * 2**20
+
+
+def test_auto_engine_degrades_to_sr_delta_for_16k(monkeypatch):
+    """engine="auto" on a TPU backend: f32-fitting models get the plain
+    resident kernel; the over-budget 16 kHz net degrades to sr_delta
+    (bf16 momentum) instead of losing residency to the XLA fallback."""
+    import tpu_sednn.train.loop as loop_mod
+    from tpu_sednn.train.loop import _auto_engine
+
+    monkeypatch.setattr(loop_mod.jax, "default_backend", lambda: "tpu")
+    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=128)
+    cfg_8k = ModelConfig(layersizes=(1548, 2048, 2048, 2048, 129))
+    cfg_16k = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
+    assert _auto_engine(cfg_8k, opt) == ("resident", {})
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
+    # caller pinned a state mode already -> no silent sr_delta switch
+    assert _auto_engine(cfg_16k, opt, {"sr_state": True}) == ("resident", {})
+    # something absurdly large still falls back to XLA
+    cfg_huge = ModelConfig(layersizes=(8192, 8192, 8192, 8192))
+    assert _auto_engine(cfg_huge, opt) == ("xla", {})
+    # on the real (CPU) backend auto stays XLA
+    monkeypatch.undo()
+    assert _auto_engine(cfg_8k, opt) == ("xla", {})
+
+
+def test_resident_sr_delta_guards():
+    cfg = ModelConfig(layersizes=(128, 128, 128))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_resident_train_chunk(cfg, OptConfig(bunchsize=16), rule="clean",
+                                  sr_state=True, sr_delta=True)
+    with pytest.raises(ValueError, match="momentum buffer"):
+        make_resident_train_chunk(cfg, OptConfig(bunchsize=64), rule="clean",
+                                  tile_rows=16, sr_delta=True)
+
+
+@pytest.mark.parametrize("rule", ["parity", "clean"])
+def test_resident_sr_delta_interpret_close_to_f32(rule):
+    """sr_delta (bf16 momentum storage, f32 weights + unrounded weight step)
+    tracks the f32 kernel within bf16 rounding noise; returned momentum is
+    bf16.  Interpret mode: the mosaic interpreter's PRNG is degenerate, so
+    this validates the data path / dtype plumbing; unbiasedness of the SR
+    bits is a hardware property benched on the real chip."""
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.3, momentum=0.6, weightcost=1e-4, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((48, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((48, sizes[-1])), jnp.float32)
+
+    st_f32 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                       rule=rule)(
+        init_train_state(params), x, t, jnp.int32(3))
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    rule=rule, sr_delta=True)
+    st_sr = run(init_train_state(params), x, t, jnp.int32(3))
+    assert int(st_sr.step) == int(st_f32.step) == 3
+    for l in range(2):
+        assert st_sr.deltas["w"][l].dtype == jnp.bfloat16
+        assert st_sr.params["w"][l].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(st_sr.params["w"][l]),
+                                   np.asarray(st_f32.params["w"][l]),
+                                   rtol=2e-2, atol=2e-4)
+        # biases stay exactly f32 state (no SR on the bias path)
+        assert st_sr.deltas["b"][l].dtype == jnp.float32
+    # a second call consumes the bf16 deltas without re-cast issues
+    st_sr2 = run(st_sr, x, t, jnp.int32(4))
+    assert int(st_sr2.step) == 6

@@ -63,18 +63,22 @@ _VMEM_HEADROOM_BYTES = 8 * 1024 * 1024
 
 def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
                         sr_state: bool = False,
-                        tile_rows: int | None = None) -> int:
+                        tile_rows: int | None = None,
+                        sr_delta: bool = False) -> int:
     """Estimated VMEM footprint of the resident megakernel's pinned state +
     double-buffered input windows (the dominant terms).  Validation datapoint
     (16 kHz 3084-2048x3-257 net): this estimate gives 123.5 MiB while the
     failed mosaic compile reported 129.02 MiB actually used — the ~5.5 MiB
     delta is per-layer activation/grad temporaries, which is exactly what
-    _VMEM_HEADROOM_BYTES (8 MiB) budgets for.  Weights+momentum are fp32, or
-    bf16 when sr_state; biases and x/t windows are always fp32."""
+    _VMEM_HEADROOM_BYTES (8 MiB) budgets for.  Weights+momentum are fp32;
+    bf16 both when sr_state, bf16 momentum only when sr_delta.  Biases and
+    x/t windows are always fp32."""
     padded = [_round_up(s) for s in cfg.layersizes]
     w_elems = sum(a * b for a, b in zip(padded[:-1], padded[1:]))
     b_elems = sum(padded[1:])
-    state_bytes = 2 * w_elems * (2 if sr_state else 4) + 2 * b_elems * 4
+    w_bytes = 2 if sr_state else 4
+    d_bytes = 2 if (sr_state or sr_delta) else 4
+    state_bytes = w_elems * (w_bytes + d_bytes) + 2 * b_elems * 4
     tile = tile_rows if tile_rows is not None else opt.bunchsize
     window_bytes = 2 * tile * (padded[0] + padded[-1]) * 4  # 2 buffering levels
     return state_bytes + window_bytes
@@ -82,8 +86,9 @@ def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
 
 def resident_fits_vmem(cfg: ModelConfig, opt: OptConfig,
                        sr_state: bool = False,
-                       tile_rows: int | None = None) -> bool:
-    return (resident_vmem_bytes(cfg, opt, sr_state, tile_rows)
+                       tile_rows: int | None = None,
+                       sr_delta: bool = False) -> bool:
+    return (resident_vmem_bytes(cfg, opt, sr_state, tile_rows, sr_delta)
             <= VMEM_BUDGET_BYTES - _VMEM_HEADROOM_BYTES)
 
 
@@ -106,10 +111,27 @@ def _mask_threshold(omit: float) -> int:
     return min(int(omit * 4294967296.0), 4294967295)
 
 
+def _sr_to_bf16(val, bits, emulate: bool):
+    """f32 -> bf16 with unbiased stochastic rounding.
+
+    On TPU this is the hardware op.  The mosaic/HLO interpreters have no
+    stochastic_round lowering on CPU, so interpret mode uses the equivalent
+    construction the hardware implements: add the low 16 random bits to the
+    f32 bit pattern and truncate the mantissa (rounds away from zero with
+    probability equal to the dropped fraction — unbiased; mantissa carry
+    correctly propagates into the exponent)."""
+    if not emulate:
+        return pltpu.stochastic_round(val, bits, target_dtype=jnp.bfloat16)
+    vi = pltpu.bitcast(val, jnp.uint32)
+    yi = (vi + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    return pltpu.bitcast(yi, jnp.float32).astype(jnp.bfloat16)
+
+
 def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      n_bunches: int, hidden: str, output: str,
                      dropout: tuple, dropout_mode: str, valid_sizes,
-                     bf16: bool, sr_state: bool,
+                     bf16: bool, sr_state: bool, sr_delta: bool = False,
+                     emulate_sr: bool = False,
                      axis_name: str | None = None, n_dev: int = 1,
                      grad_n: int | None = None, dedy_full: bool = False,
                      accum_tiles: int = 1, mask_rows: int | None = None):
@@ -269,7 +291,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             # serves BOTH the dedy backprop (with PRE-update values — SgemmTN
             # order, BP_GPU.cu:636 runs before DevAccSum :651) and the in-place
             # momentum update; the (rb, N) gradient temporary stays bounded.
-            if sr_state:  # one PRNG stream per (bunch, layer) for the SR bits
+            if sr_state or sr_delta:  # one PRNG stream per (bunch, layer) for SR bits
                 pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
             if dedy_full and l > 0:
                 # one (bunch, M) MXU dot against the full PRE-update W —
@@ -303,11 +325,19 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                     # bf16 state: unbiased stochastic rounding via the hw PRNG —
                     # nearest-rounding would bias the ~1e-5-scale updates to zero
                     bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
-                    Ds[l][r0:r1, :] = pltpu.stochastic_round(
-                        nd, bits, target_dtype=jnp.bfloat16)
+                    Ds[l][r0:r1, :] = _sr_to_bf16(nd, bits, emulate_sr)
                     bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
-                    Ws[l][r0:r1, :] = pltpu.stochastic_round(
-                        w32 + nd, bits, target_dtype=jnp.bfloat16)
+                    Ws[l][r0:r1, :] = _sr_to_bf16(w32 + nd, bits, emulate_sr)
+                elif sr_delta:
+                    # bf16 MOMENTUM only (weights stay f32): halves the delta
+                    # buffer's VMEM share, which is what lets the 16 kHz
+                    # 3084-2048x3-257 state fit the mosaic budget (VERDICT r3
+                    # item 2).  The weight step applies the UNROUNDED f32 nd;
+                    # only the stored recurrence is SR-rounded (unbiased, so
+                    # momentum accumulation does not drift toward zero).
+                    bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
+                    Ds[l][r0:r1, :] = _sr_to_bf16(nd, bits, emulate_sr)
+                    Ws[l][r0:r1, :] = w32 + nd
                 else:
                     Ds[l][r0:r1, :] = nd
                     Ws[l][r0:r1, :] = w32 + nd
@@ -349,6 +379,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
 def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    hidden: str, output: str, dropout, dropout_mode: str,
                    valid_sizes, bf16: bool, sr_state: bool, interpret: bool,
+                   sr_delta: bool = False,
                    axis_name: str | None = None, n_dev: int = 1,
                    grad_n: int | None = None, dedy_full: bool = False,
                    accum_tiles: int = 1, mask_rows: int | None = None):
@@ -359,6 +390,7 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         n_bunches=n_mega, hidden=hidden, output=output,
         dropout=tuple(dropout), dropout_mode=dropout_mode,
         valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state,
+        sr_delta=sr_delta, emulate_sr=bool(interpret),
         axis_name=axis_name, n_dev=n_dev, grad_n=grad_n, dedy_full=dedy_full,
         accum_tiles=accum_tiles, mask_rows=mask_rows)
 
@@ -395,7 +427,9 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
-    if interpret and n_dev > 1:
+    if interpret and (n_dev > 1 or sr_state or sr_delta):
+        # the HLO interpreter has no prng_seed/stochastic_round lowering on
+        # CPU; the mosaic interpreter does (degenerate PRNG bits)
         interpret_param = pltpu.InterpretParams()
     else:
         interpret_param = interpret
@@ -443,7 +477,8 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
                               interpret: bool = False, bf16: bool = True,
                               rule: str = "parity", sr_state: bool = False,
                               dedy_full: bool = False,
-                              tile_rows: int | None = None):
+                              tile_rows: int | None = None,
+                              sr_delta: bool = False):
     """jit chunk trainer: whole chunk, VMEM-resident state, one pallas_call.
 
     Same contract as train.step.make_jit_train_chunk / make_pallas_train_chunk
@@ -457,6 +492,18 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     train.step.clean_train_step).  sr_state: weights/momentum are bfloat16
     (biases stay f32) with hardware-PRNG stochastic rounding — halves the
     resident state's VMEM footprint and update traffic (clean mode; TPU only).
+
+    sr_delta: MOMENTUM-only bf16 storage with hardware-PRNG stochastic
+    rounding; weights, biases, and every computed value stay f32, and the
+    weight step applies the unrounded f32 delta.  This is the variant that
+    fits the 16 kHz full-band 3084-2048x3-257 state in the mosaic VMEM
+    budget (93.6 MiB vs 123.5 f32; VERDICT r3 item 2).  Unlike sr_state it
+    is allowed with BOTH rules: the parity update FORMULA is unchanged, but
+    bit-exactness vs the f32 kernel is necessarily lost (~bf16-ulp unbiased
+    rounding noise on the stored momentum recurrence), so parity-fixture
+    tests must keep sr_delta=False; engine="auto" only selects it when the
+    f32 state misses VMEM, and training quality is gate-scored (TPU only —
+    hw PRNG).
 
     tile_rows: stream each opt.bunchsize-row update batch through the kernel
     in row tiles of this size (grid dim 1), accumulating the gradient into
@@ -475,14 +522,19 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     if sr_state and rule == "parity":
         raise ValueError("sr_state (bf16 weights) is a clean-mode option; "
                          "parity is fp32 end-to-end")
+    if sr_state and sr_delta:
+        raise ValueError("sr_state (bf16 weights+momentum) already implies "
+                         "bf16 momentum; sr_delta is mutually exclusive")
     tile = tile_rows if tile_rows is not None else bunch
     if bunch % tile or tile % 8:
         raise ValueError(f"tile_rows {tile} must divide bunchsize {bunch} "
                          "and be a multiple of 8")
     accum = bunch // tile
-    if accum > 1 and (rule != "clean" or sr_state):
+    if accum > 1 and (rule != "clean" or sr_state or sr_delta):
         raise ValueError("row-tiled gradient accumulation (tile_rows < "
-                        "bunchsize) is a clean-rule, fp32/bf16-state option")
+                        "bunchsize) is a clean-rule, fp32/bf16-state option; "
+                        "it accumulates INTO the momentum buffer, which must "
+                        "stay f32 (no sr_state/sr_delta)")
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
@@ -507,12 +559,17 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
         dropout = (cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0)
+        ds_w = list(state.deltas["w"])
+        if sr_delta:
+            # bf16 momentum storage: cast on entry (no-op after the first
+            # call — the returned TrainState carries bf16 deltas thereafter)
+            ds_w = [d.astype(jnp.bfloat16) for d in ds_w]
         ws, ds, bs, dbs = _resident_call(
-            x, t, list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
+            x, t, list(state.params["w"]), ds_w, bs2, dbs2,
             scal, seed_arr, sizes=padded, bunch=tile, hidden=cfg.hidden,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
             valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret,
-            dedy_full=dedy_full, accum_tiles=accum,
+            sr_delta=sr_delta, dedy_full=dedy_full, accum_tiles=accum,
             grad_n=bunch if accum > 1 else None)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
@@ -530,7 +587,8 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                                  interpret: bool = False, bf16: bool = True,
                                  rule: str = "parity", dedy_full: bool = False,
                                  pre_grouped: bool = False,
-                                 tile_rows: int | None = None):
+                                 tile_rows: int | None = None,
+                                 sr_delta: bool = False):
     """Data-parallel VMEM-resident chunk trainer: the headline megakernel
     scaled over a 1-D ("data",) mesh WITHOUT giving up residency.
 
@@ -595,6 +653,9 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
     if accum > 1 and pre_grouped:
         raise ValueError("pre_grouped input regroups at bunch granularity; "
                          "tile_rows < bunchsize needs the in-jit regroup")
+    if accum > 1 and sr_delta:
+        raise ValueError("row-tiled accumulation rides in the momentum "
+                         "buffer, which must stay f32 (no sr_delta)")
 
     def shard_fn(ws, ds, bs2, dbs2, x_local, t_local, scal, seed_arr):
         return _resident_call(
@@ -603,7 +664,7 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
             output=cfg.output,
             dropout=(cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0),
             dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
-            sr_state=False, interpret=interpret,
+            sr_state=False, interpret=interpret, sr_delta=sr_delta,
             axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full,
             mask_rows=tile_g, accum_tiles=accum)
 
@@ -656,8 +717,11 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                               jnp.asarray(nr, jnp.int32)])
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
+        ds_w = list(state.deltas["w"])
+        if sr_delta:  # bf16 momentum storage (no-op cast after the 1st call)
+            ds_w = [d.astype(jnp.bfloat16) for d in ds_w]
         ws, ds, bs_o, dbs_o = sharded(
-            list(state.params["w"]), list(state.deltas["w"]), bs2, dbs2,
+            list(state.params["w"]), ds_w, bs2, dbs2,
             regroup(in_chunk), regroup(targ_chunk), scal, seed_arr)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs_o)},

@@ -37,22 +37,31 @@ _RUNNER_MEMO: Dict = {}
 
 
 def _auto_engine(cfg: ModelConfig, opt: OptConfig,
-                 engine_kwargs: Optional[Dict] = None) -> str:
-    """engine="auto" resolution: the VMEM-resident megakernel on a TPU
-    backend IF its pinned state + input windows fit the mosaic VMEM budget
-    (the canonical 8 kHz net uses ~99 MB of the 128 MB; the 16 kHz full-band
-    3084-2048x3-257 net needs ~129 MB and must fall back to XLA — found the
-    hard way: the compile fails 1.02 MB over budget).  Callers wanting the
-    resident engine for over-budget models can request engine="resident" with
-    sr_state=True (bf16 state, clean rule) explicitly."""
+                 engine_kwargs: Optional[Dict] = None) -> Tuple[str, Dict]:
+    """engine="auto" resolution -> (engine, extra_engine_kwargs).
+
+    The VMEM-resident megakernel on a TPU backend IF its pinned state +
+    input windows fit the mosaic VMEM budget (the canonical 8 kHz net uses
+    ~99 MB of the 128 MB).  When the f32 state misses the budget — the
+    16 kHz full-band 3084-2048x3-257 net at ~129 MiB, a real on-chip compile
+    failure — auto now degrades to the sr_delta resident variant (bf16
+    MOMENTUM storage with stochastic rounding, f32 weights: 93.6 MiB, fits)
+    before falling back to XLA.  The extra kwargs returned must be merged
+    into engine_kwargs by the caller."""
     if jax.default_backend() != "tpu":
-        return "xla"
+        return "xla", {}
     from tpu_sednn.ops.resident_chunk import resident_fits_vmem
 
     kw = engine_kwargs or {}
-    fits = resident_fits_vmem(cfg, opt, sr_state=kw.get("sr_state", False),
-                              tile_rows=kw.get("tile_rows"))
-    return "resident" if fits else "xla"
+    opts = dict(sr_state=kw.get("sr_state", False),
+                sr_delta=kw.get("sr_delta", False),
+                tile_rows=kw.get("tile_rows"))
+    if resident_fits_vmem(cfg, opt, **opts):
+        return "resident", {}
+    if not opts["sr_state"] and not opts["sr_delta"] and resident_fits_vmem(
+            cfg, opt, **{**opts, "sr_delta": True}):
+        return "resident", {"sr_delta": True}
+    return "xla", {}
 
 
 def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
@@ -84,7 +93,8 @@ def make_chunk_runner(cfg: ModelConfig, opt: OptConfig, engine: str = "xla",
     first — callers must always pass them explicitly).
     """
     if engine == "auto":
-        engine = _auto_engine(cfg, opt, engine_kwargs)
+        engine, extra = _auto_engine(cfg, opt, engine_kwargs)
+        engine_kwargs = {**engine_kwargs, **extra}
     memo_key = (cfg, opt.bunchsize, engine, n_data_shards, pre_grouped,
                 tuple(sorted(engine_kwargs.items())))
     if memo_key in _RUNNER_MEMO:
@@ -210,7 +220,8 @@ def train_epoch_pfile(
     # (the multi-GPU bunch-split of BP_GPU.cu:29-37, actually enabled)
     resolved_engine = engine
     if resolved_engine == "auto":
-        resolved_engine = _auto_engine(cfg, opt, engine_kwargs)
+        resolved_engine, _extra = _auto_engine(cfg, opt, engine_kwargs)
+        engine_kwargs = {**(engine_kwargs or {}), **_extra}
     n_proc = jax.process_count()
     multi_process = n_proc > 1 and n_data_shards > 1
     if device_splice is None:
