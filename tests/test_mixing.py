@@ -1,0 +1,86 @@
+"""Corpus generators (data/mixing.py): reverb realism rung + the
+seen/unseen noise-family partition for the generalization protocol."""
+
+import numpy as np
+import pytest
+
+from tpu_sednn.data.mixing import (
+    NOISE_KINDS,
+    SEEN_NOISE_KINDS,
+    UNSEEN_NOISE_KINDS,
+    apply_reverb,
+    mix_at_snr,
+    synth_corpus,
+    synth_noise,
+    synth_rir,
+    synth_speech,
+)
+
+SR = 8000
+
+
+def test_noise_family_partition():
+    assert set(SEEN_NOISE_KINDS) | set(UNSEEN_NOISE_KINDS) == set(NOISE_KINDS)
+    assert not set(SEEN_NOISE_KINDS) & set(UNSEEN_NOISE_KINDS)
+    assert len(UNSEEN_NOISE_KINDS) == 2  # held-out families
+
+
+def test_synth_rir_shape_and_decay():
+    rng = np.random.default_rng(0)
+    rt60 = 0.3
+    h = synth_rir(rng, SR, rt60_s=rt60)
+    assert h.dtype == np.float32 and len(h) == int(rt60 * SR)
+    assert h[0] == 1.0  # unit direct path
+    # the tail envelope decays: last-10% energy well below first-10% energy
+    n = len(h)
+    e0 = float(np.mean(h[1 : n // 10] ** 2))
+    e1 = float(np.mean(h[-n // 10 :] ** 2))
+    assert e1 < e0 * 0.05
+    # randomized RT60 stays in the documented range
+    h2 = synth_rir(rng, SR)
+    assert int(0.1 * SR) <= len(h2) <= int(0.5 * SR)
+
+
+def test_apply_reverb_preserves_rms_and_length():
+    rng = np.random.default_rng(1)
+    x = synth_speech(rng, 2 * SR, SR)
+    h = synth_rir(rng, SR, rt60_s=0.25)
+    y = apply_reverb(x, h, wet=1.0)
+    assert y.shape == x.shape and y.dtype == np.float32
+    rx = np.sqrt(np.mean(x**2))
+    ry = np.sqrt(np.mean(y**2))
+    assert ry == pytest.approx(rx, rel=1e-4)  # renormalized to dry level
+    # the room actually changed the signal
+    assert float(np.max(np.abs(y - x))) > 0.01 * float(np.max(np.abs(x)))
+    # dry/wet: wet=0 is the identity
+    np.testing.assert_allclose(apply_reverb(x, h, wet=0.0), x, atol=1e-6)
+
+
+def test_synth_corpus_reverb_prob():
+    cleans_dry, _ = synth_corpus(3, 6, sr=SR, variants=1, reverb_prob=0.0)
+    cleans_rev, noisys_rev = synth_corpus(3, 6, sr=SR, variants=1,
+                                          reverb_prob=1.0)
+    assert len(cleans_rev) == len(cleans_dry) == 6
+    # first utterance: identical rng draws up to the reverb branch, so the
+    # lengths match and the waveform difference IS the room (later utterances
+    # see shifted draws — the RIR consumes rng state — so only check finite)
+    assert len(cleans_dry[0]) == len(cleans_rev[0])
+    assert float(np.max(np.abs(cleans_dry[0] - cleans_rev[0]))) > 1e-4
+    for r in cleans_rev:
+        assert np.all(np.isfinite(r))
+    # the reverberant clean is the mixing source: mixes stay near target SNR
+    for c, nz in zip(cleans_rev, noisys_rev):
+        assert np.all(np.isfinite(nz)) and len(nz) == len(c)
+    # determinism
+    again, _ = synth_corpus(3, 6, sr=SR, variants=1, reverb_prob=1.0)
+    np.testing.assert_array_equal(cleans_rev[0], again[0])
+
+
+def test_mix_at_snr_hits_target_snr_with_reverb_source():
+    rng = np.random.default_rng(5)
+    c = synth_speech(rng, 2 * SR, SR)
+    c = apply_reverb(c, synth_rir(rng, SR, rt60_s=0.2), wet=0.8)
+    nz = synth_noise(rng, len(c), "pink")
+    y = mix_at_snr(c, nz, 5.0, rng)
+    got = 10 * np.log10(np.mean(c**2) / (np.mean((y - c) ** 2) + 1e-12))
+    assert got == pytest.approx(5.0, abs=0.2)

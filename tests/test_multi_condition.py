@@ -21,10 +21,21 @@ def test_multi_condition_mini(tmp_path):
         n_epochs=5,
         bunchsize=64,
         use_dp_mesh=True,
-        head="lps",  # the regression head (the config default flagship is irm)
+        head="lps",  # the regression head (the config default flagship is psm)
+        reverb_prob=0.3,  # corpus realism rung rides through the pipeline
+        eval_noise_kinds=("pink",),  # unseen-noise generalization protocol
     )
     res = run_multi_condition(mc, logger=Logger(stream=None))
     assert res["cv_hist"][-1] < res["cv_hist"][0]
+    gen = res["eval"]["noise_generalization"]
+    assert set(gen["per_kind"]) == {"white", "pink"}
+    assert gen["per_kind"]["white"]["seen"] is True
+    assert gen["per_kind"]["pink"]["seen"] is False
+    for grp in ("seen", "unseen"):
+        for k in ("stoi_gain", "segsnr_gain", "pesq_gain", "lsd_gain"):
+            assert np.isfinite(gen[grp][k])
+    assert set(gen["gap"]) == {"stoi_gain", "segsnr_gain", "pesq_gain",
+                               "lsd_gain"}
     ev = res["eval"]["synthetic_0dB"]
     assert ev["snr_enh"] > ev["snr_noisy"]
     assert os.path.exists(str(tmp_path / "mc" / "mlp.final.wts"))

@@ -179,6 +179,55 @@ def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000,
 NOISE_KINDS = ("white", "pink", "babble", "hum", "machinegun", "factory",
                "hfchannel")
 
+#: the held-out families for the unseen-noise generalization protocol — the
+#: reference evaluates on 15 noise types NEVER seen in training
+#: (/root/reference/README.md:22-24); training on NOISE_KINDS minus these and
+#: evaluating on all seven yields a seen-vs-unseen gap number
+#: (recipes/multi_condition.py eval_noise_kinds)
+UNSEEN_NOISE_KINDS = ("factory", "hfchannel")
+SEEN_NOISE_KINDS = tuple(k for k in NOISE_KINDS if k not in UNSEEN_NOISE_KINDS)
+
+
+def synth_rir(rng: np.random.Generator, sr: int,
+              rt60_s: float | None = None) -> np.ndarray:
+    """Synthetic room impulse response: unit direct path + sparse early
+    reflections (first ~50 ms) + dense exponentially-decaying late tail with
+    the RT60 decay constant (energy falls 60 dB over rt60_s).
+
+    The reference's corpus is real recorded audio — mildly reverberant by
+    nature (the Forrest Gump demo clip audibly so, README.md:46-52); this is
+    the corpus-realism rung that models it (VERDICT r3 item 4)."""
+    rt60 = float(rng.uniform(0.1, 0.5)) if rt60_s is None else float(rt60_s)
+    n = max(int(rt60 * sr), 8)
+    t = np.arange(n, dtype=np.float32) / sr
+    h = np.zeros(n, np.float32)
+    h[0] = 1.0  # direct path
+    # sparse early reflections: a handful of signed taps, 3-50 ms delay,
+    # amplitude shrinking with delay (image-source flavor)
+    for _ in range(int(rng.integers(4, 10))):
+        d = int(rng.uniform(0.003, 0.05) * sr)
+        if d < n:
+            h[d] += rng.choice((-1.0, 1.0)) * rng.uniform(0.1, 0.5) * np.exp(-d / (0.02 * sr))
+    # dense late tail: gaussian noise under the RT60 exponential envelope,
+    # fading in after ~5 ms (before that the early reflections dominate)
+    tau = rt60 / (3.0 * np.log(10.0))  # amplitude e-folding for 60 dB/rt60
+    tail = rng.standard_normal(n).astype(np.float32) * np.exp(-t / tau)
+    fade = np.clip((t - 0.005) / 0.01, 0.0, 1.0)
+    h += 0.25 * tail * fade
+    return h
+
+
+def apply_reverb(x: np.ndarray, h: np.ndarray, wet: float = 1.0) -> np.ndarray:
+    """Convolve with an RIR (same-length output) and dry/wet mix; the result
+    is RMS-renormalized to the dry level so downstream SNR mixing is
+    unaffected by the room gain."""
+    x = np.asarray(x, np.float32)
+    rev = np.convolve(x, np.asarray(h, np.float32))[: len(x)]
+    y = (1.0 - wet) * x + wet * rev
+    rms_x = float(np.sqrt(np.mean(x**2))) + 1e-12
+    rms_y = float(np.sqrt(np.mean(y**2))) + 1e-12
+    return (y * (rms_x / rms_y)).astype(np.float32)
+
 
 def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -> np.ndarray:
     t = np.arange(n_samples)
@@ -233,6 +282,9 @@ def synth_corpus(
     variants: int = 1,
     len_quantum_s: float = 0.5,
     style: str = "rich",
+    reverb_prob: float = 0.0,
+    rt60_range: Tuple[float, float] = (0.1, 0.5),
+    wet_range: Tuple[float, float] = (0.4, 1.0),
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """-> (clean_wavs, noisy_wavs): a multi-condition training corpus.
 
@@ -242,6 +294,12 @@ def synth_corpus(
     len_quantum_s: utterance lengths snap to this grid so downstream jitted
     per-length programs (STFT featurization) compile for a handful of shapes
     instead of one per utterance.
+    reverb_prob: per-utterance probability of convolving the SPEECH with a
+    synthetic RIR (synth_rir; RT60 ~ U(rt60_range), dry/wet ~ U(wet_range))
+    BEFORE mixing — the reverberant speech is then both the mixing source and
+    the training target, i.e. the task stays denoise-the-recording (the
+    reference's "clean" corpus is real, mildly reverberant recordings), not
+    dereverberation.
     """
     rng = np.random.default_rng(seed)
     cleans, noisys = [], []
@@ -250,6 +308,9 @@ def synth_corpus(
         n = int(rng.uniform(min_s, max_s) * sr)
         n = max(q, (n // q) * q)
         c = synth_speech(rng, n, sr, style=style)
+        if reverb_prob > 0.0 and rng.uniform() < reverb_prob:
+            h = synth_rir(rng, sr, rt60_s=float(rng.uniform(*rt60_range)))
+            c = apply_reverb(c, h, wet=float(rng.uniform(*wet_range)))
         for _ in range(max(variants, 1)):
             nz = synth_noise(rng, n, str(rng.choice(noise_kinds)))
             snr = float(rng.choice(snrs))
