@@ -147,3 +147,97 @@ def test_streaming_short_stream():
     out1 = se.push(np.zeros(100, np.float32))
     out2 = se.flush()
     assert out1.size + out2.size == 100
+
+
+# ---------------------------------------------------------------------------
+# DeviceStreamingEnhancer: rolling state in device arrays inside one jitted
+# step (the on-chip streaming path)
+# ---------------------------------------------------------------------------
+
+from tpu_sednn.enhance.streaming import DeviceStreamingEnhancer
+
+
+@pytest.mark.parametrize("block_frames", [1, 8])
+def test_device_streaming_matches_offline(block_frames):
+    params, cfg = _model()
+    ecfg = EnhanceConfig(stft=STFT, head="lps", min_gain_db=-10.0, max_gain_db=0.0)
+    wav = _wav(SR * 2 + 517)
+    ref = enhance_waveform(params, cfg, ecfg, wav, MEAN, ISTD)
+    se = DeviceStreamingEnhancer(params, cfg, ecfg, MEAN, ISTD,
+                                 block_frames=block_frames)
+    outs = [se.push(c) for c in _chunks(wav, 3)]
+    outs.append(se.flush())
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape
+    assert float(np.max(np.abs(got - ref))) < 5e-5
+
+
+def test_device_streaming_matches_host_streaming_masks():
+    """Mask head + target-norm plumbing through the device step."""
+    params, cfg = _model(head="irm", seed=4)
+    ecfg = EnhanceConfig(stft=STFT, head="irm", mask_floor=0.05)
+    tn = (np.full(D, 0.3, np.float32), np.full(D, 0.7, np.float32))
+    wav = _wav(SR + 129, seed=9)
+    host = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, target_norm=tn)
+    dev = DeviceStreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, target_norm=tn)
+    a = np.concatenate([host.push(wav), host.flush()])
+    b = np.concatenate([dev.push(wav), dev.flush()])
+    assert a.shape == b.shape
+    assert float(np.max(np.abs(a - b))) < 5e-5
+
+
+def test_device_streaming_scan_blocks_equals_push():
+    """N steps inside one lax.scan == N sequential push blocks."""
+    params, cfg = _model(seed=2)
+    ecfg = EnhanceConfig(stft=STFT, head="lps")
+    wav = _wav(SR * 2, seed=13)
+    B = 8
+    step_in = B * STFT.hop
+
+    se1 = DeviceStreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, block_frames=B)
+    se2 = DeviceStreamingEnhancer(params, cfg, ecfg, MEAN, ISTD, block_frames=B)
+    # feed exactly prime + 2 whole step blocks so the internal buffer drains
+    prime = se1._n_prime + 2 * step_in
+    out1_head = se1.push(wav[:prime])
+    out2_head = se2.push(wav[:prime])
+    np.testing.assert_array_equal(out1_head, out2_head)
+    rest = wav[prime:]
+    n_blocks = rest.size // step_in
+    blocks = rest[: n_blocks * step_in].reshape(n_blocks, step_in)
+    assert n_blocks >= 5
+
+    push_out = np.concatenate([se1.push(b) for b in blocks])
+    scan_out = se2.scan_blocks(blocks)
+    assert scan_out.shape == (n_blocks, step_in)
+    np.testing.assert_allclose(scan_out.ravel(), push_out, atol=1e-6)
+    # state advanced identically: flushing both gives identical tails
+    tail_rest = rest[n_blocks * step_in :]
+    a = np.concatenate([se1.push(tail_rest), se1.flush()])
+    b = np.concatenate([se2.push(tail_rest), se2.flush()])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_device_streaming_short_stream_fallback():
+    """Streams too short to prime fall back to the host path: same output."""
+    params, cfg = _model()
+    ecfg = EnhanceConfig(stft=STFT)
+    for n in (100, 700, 1200):
+        wav = _wav(n, seed=n)
+        host = StreamingEnhancer(params, cfg, ecfg, MEAN, ISTD)
+        dev = DeviceStreamingEnhancer(params, cfg, ecfg, MEAN, ISTD)
+        a = np.concatenate([host.push(wav), host.flush()])
+        b = np.concatenate([dev.push(wav), dev.flush()])
+        assert a.shape == b.shape == (n,)
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_device_streaming_guards():
+    params, cfg = _model()
+    # zero lookahead unsupported on the device path
+    with pytest.raises(ValueError, match="lookahead"):
+        DeviceStreamingEnhancer(params, cfg,
+                                EnhanceConfig(stft=STFT, fea_context=11,
+                                              targ_offset=10), MEAN, ISTD)
+    se = DeviceStreamingEnhancer(params, cfg, EnhanceConfig(stft=STFT), MEAN, ISTD)
+    with pytest.raises(RuntimeError, match="primed"):
+        se.scan_blocks(np.zeros((2, 8 * STFT.hop), np.float32))

@@ -10,4 +10,4 @@ from tpu_sednn.enhance.decode import (
     make_serving_decoder,
     postprocess_mask,
 )
-from tpu_sednn.enhance.streaming import StreamingEnhancer
+from tpu_sednn.enhance.streaming import DeviceStreamingEnhancer, StreamingEnhancer
