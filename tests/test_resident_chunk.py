@@ -441,11 +441,13 @@ def test_resident_tile_rows_guards():
                                   rule="clean", tile_rows=24)
 
 
-def test_dp_resident_row_tiled_matches_single_chip():
-    """DP + row-tiled accumulation (big update batches amortizing the
-    in-kernel butterfly): tile-granular bunch_part split, gradients
-    all-reduced per tile, accumulated into the momentum buffer, one update
-    per global batch — must match the single-chip row-tiled kernel."""
+@pytest.mark.parametrize("n_dev,tile_rows", [(2, 32), (4, 32), (2, 16)])
+def test_dp_resident_row_tiled_matches_single_chip(n_dev, tile_rows):
+    """DP x row-tiled accumulation (big update batches amortizing the
+    in-kernel butterfly; accum_tiles = bunch/tile_rows > 1): tile-granular
+    bunch_part split, gradients all-reduced per tile, accumulated into the
+    momentum buffer, one update per global batch — must match the
+    single-chip row-tiled kernel for every device count."""
     from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
     from tpu_sednn.parallel import make_mesh, replicate
 
@@ -458,11 +460,12 @@ def test_dp_resident_row_tiled_matches_single_chip():
     t = jnp.asarray(rng.standard_normal((128, sizes[-1])), jnp.float32)
 
     st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
-                                    rule="clean", tile_rows=32)(
+                                    rule="clean", tile_rows=tile_rows)(
         init_train_state(params), x, t, jnp.int32(0))
-    mesh = make_mesh(n_data=2, n_model=1)
+    mesh = make_mesh(n_data=n_dev, n_model=1)
     run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
-                                       bf16=False, rule="clean", tile_rows=32)
+                                       bf16=False, rule="clean",
+                                       tile_rows=tile_rows)
     st2 = run(init_train_state(replicate(params, mesh)), x, t, jnp.int32(0))
     assert int(st2.step) == int(st1.step) == 2
     for l in range(2):
