@@ -40,6 +40,14 @@ class MultiConditionConfig:
     seed: int = 0
     ckpt_every: int = 5  # checkpoint (params+momentum) every N epochs
     use_dp_mesh: bool = True
+    # samples per trainer call (the reference's traincache, finetune_...pl:
+    # 65): bounds the transient device footprint of the per-epoch permutation
+    # gather to one chunk — at 16 kHz flagship scale the whole-epoch gather
+    # (2x a ~6 GB feature array) would not fit HBM.  102400 is a multiple of
+    # every bunchsize used, so chunking does not change the update math
+    # (only the final chunk drops a partial bunch, as one whole-epoch call
+    # would).
+    traincache: int = 102400
     # training head: "psm" phase-sensitive mask (Erdogan'15; THIS REPO'S
     # FLAGSHIP — dominates the IRM run on 8/9 demo-gate metrics at equal
     # scale, BASELINE.md), "irm" (the Interspeech'15 variant), "ibm", or
@@ -246,10 +254,17 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         # epoch-indexed key stream: a resumed run continues it exactly
         kperm, sub = jax.random.split(jax.random.fold_in(base_key, epoch))
         # fresh bunch composition per epoch (the reference rebuilds its
-        # lrand48 scatter every epoch); permutation gathers run on device
+        # lrand48 scatter every epoch); permutation gathers run on device,
+        # one traincache chunk at a time (bounded transient footprint)
         perm = jax.random.permutation(kperm, xj.shape[0])
-        state = run(state, jnp.take(xj, perm, axis=0), jnp.take(tj, perm, axis=0),
-                    sub, opt.lrate, opt.momentum, opt.weightcost)
+        for ci, st_i in enumerate(range(0, xj.shape[0], mc.traincache)):
+            idx = perm[st_i : st_i + mc.traincache]
+            if idx.shape[0] < mc.bunchsize:
+                continue  # partial bunch dropped (BP_GPU.cu:315-318 semantics)
+            state = run(state, jnp.take(xj, idx, axis=0),
+                        jnp.take(tj, idx, axis=0),
+                        jax.random.fold_in(sub, ci),
+                        opt.lrate, opt.momentum, opt.weightcost)
         cv = float(cv_squared_error(state.params, xcj, tcj, mcfg)) / len(x_cv)
         if not np.isfinite(cv):
             raise FloatingPointError(f"[mc] diverged at epoch {epoch} (cv={cv})")

@@ -58,8 +58,11 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
                 tile_rows=kw.get("tile_rows"))
     if resident_fits_vmem(cfg, opt, **opts):
         return "resident", {}
-    if not opts["sr_state"] and not opts["sr_delta"] and resident_fits_vmem(
-            cfg, opt, **{**opts, "sr_delta": True}):
+    import os
+
+    if (not opts["sr_state"] and not opts["sr_delta"]
+            and not os.environ.get("TPU_SEDNN_NO_SR_DELTA")
+            and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
         return "resident", {"sr_delta": True}
     return "xla", {}
 
