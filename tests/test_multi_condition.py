@@ -116,3 +116,29 @@ def test_multi_condition_psm_head(tmp_path):
     ev = res["eval"]["synthetic_0dB"]
     assert ev["snr_enh"] > ev["snr_noisy"]
     assert json.load(open(str(tmp_path / "mc_psm" / "run.json")))["head"] == "psm"
+
+
+def test_traincache_chunking_equivalent(tmp_path):
+    """Chunked epochs (traincache < dataset) train to the same result as one
+    whole-epoch call when traincache is a bunchsize multiple and dropout is
+    off (update order is identical; only the permutation gather is split)."""
+    base = dict(
+        n_utts=12,
+        snrs=(0.0,),
+        noise_kinds=("white",),
+        fea_context=3,
+        targ_offset=1,
+        hidden=(64,),
+        n_epochs=2,
+        bunchsize=32,
+        use_dp_mesh=False,
+        head="lps",
+        dropout=(0.0, 0.0),
+    )
+    r_big = run_multi_condition(
+        MultiConditionConfig(out_dir=str(tmp_path / "big"), traincache=10**9,
+                             **base), logger=Logger(stream=None))
+    r_small = run_multi_condition(
+        MultiConditionConfig(out_dir=str(tmp_path / "small"), traincache=64,
+                             **base), logger=Logger(stream=None))
+    assert r_big["cv_hist"] == r_small["cv_hist"]
