@@ -111,8 +111,10 @@ def test_resident_clean_rule_matches_clean_step():
 def test_resident_sr_state_guards():
     cfg = ModelConfig(layersizes=(128, 128, 128))
     opt = OptConfig(bunchsize=16)
-    with pytest.raises(ValueError):
-        make_resident_train_chunk(cfg, opt, rule="parity", sr_state=True)
+    # sr_state is allowed with the parity RULE since round 4 (same update
+    # formula, bf16 storage — the auto-engine degrade for over-VMEM models);
+    # bit-exact parity fixtures simply keep sr_state=False
+    assert make_resident_train_chunk(cfg, opt, rule="parity", sr_state=True)
     with pytest.raises(ValueError):
         make_resident_train_chunk(cfg, opt, rule="nope")
 
@@ -503,10 +505,12 @@ def test_resident_vmem_estimator_and_auto_fallback():
     assert VMEM_BUDGET_BYTES == 128 * 2**20
 
 
-def test_auto_engine_degrades_to_sr_delta_for_16k(monkeypatch):
+def test_auto_engine_degrades_to_sr_state_for_16k(monkeypatch):
     """engine="auto" on a TPU backend: f32-fitting models get the plain
-    resident kernel; the over-budget 16 kHz net degrades to sr_delta
-    (bf16 momentum) instead of losing residency to the XLA fallback."""
+    resident kernel; the over-budget 16 kHz net degrades to sr_state
+    (bf16 state + SR; measured faster than the XLA fallback on chip)
+    instead of losing residency.  TPU_SEDNN_NO_SR_FALLBACK disables the
+    degrade."""
     import tpu_sednn.train.loop as loop_mod
     from tpu_sednn.train.loop import _auto_engine
 
@@ -515,9 +519,14 @@ def test_auto_engine_degrades_to_sr_delta_for_16k(monkeypatch):
     cfg_8k = ModelConfig(layersizes=(1548, 2048, 2048, 2048, 129))
     cfg_16k = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
     assert _auto_engine(cfg_8k, opt) == ("resident", {})
-    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
-    # caller pinned a state mode already -> no silent sr_delta switch
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_state": True})
+    # caller pinned a state mode already -> no silent switch
     assert _auto_engine(cfg_16k, opt, {"sr_state": True}) == ("resident", {})
+    assert _auto_engine(cfg_16k, opt, {"sr_delta": True}) == ("resident", {})
+    # escape hatch: over-budget models take XLA instead
+    monkeypatch.setenv("TPU_SEDNN_NO_SR_FALLBACK", "1")
+    assert _auto_engine(cfg_16k, opt) == ("xla", {})
+    monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
     # something absurdly large still falls back to XLA
     cfg_huge = ModelConfig(layersizes=(8192, 8192, 8192, 8192))
     assert _auto_engine(cfg_huge, opt) == ("xla", {})
@@ -534,6 +543,37 @@ def test_resident_sr_delta_guards():
     with pytest.raises(ValueError, match="momentum buffer"):
         make_resident_train_chunk(cfg, OptConfig(bunchsize=64), rule="clean",
                                   tile_rows=16, sr_delta=True)
+
+
+@pytest.mark.parametrize("rule", ["parity", "clean"])
+def test_resident_sr_state_interpret_close_to_f32(rule):
+    """sr_state (bf16 weights+momentum, the auto-engine degrade for
+    over-VMEM models) tracks the f32 kernel within bf16 rounding noise;
+    run() auto-casts an f32 TrainState on entry and returns bf16 state."""
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.3, momentum=0.6, weightcost=1e-4, bunchsize=16)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((48, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((48, sizes[-1])), jnp.float32)
+
+    st_f32 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                       rule=rule)(
+        init_train_state(params), x, t, jnp.int32(3))
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    rule=rule, sr_state=True)
+    st_sr = run(init_train_state(params), x, t, jnp.int32(3))
+    assert int(st_sr.step) == int(st_f32.step) == 3
+    for l in range(2):
+        assert st_sr.params["w"][l].dtype == jnp.bfloat16
+        assert st_sr.deltas["w"][l].dtype == jnp.bfloat16
+        assert st_sr.params["b"][l].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(st_sr.params["w"][l], np.float32),
+            np.asarray(st_f32.params["w"][l]), rtol=3e-2, atol=3e-3)
+    st_sr2 = run(st_sr, x, t, jnp.int32(4))  # bf16 state round-trips
+    assert int(st_sr2.step) == 6
 
 
 @pytest.mark.parametrize("rule", ["parity", "clean"])

@@ -330,11 +330,16 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                     Ws[l][r0:r1, :] = _sr_to_bf16(w32 + nd, bits, emulate_sr)
                 elif sr_delta:
                     # bf16 MOMENTUM only (weights stay f32): halves the delta
-                    # buffer's VMEM share, which is what lets the 16 kHz
-                    # 3084-2048x3-257 state fit the mosaic budget (VERDICT r3
-                    # item 2).  The weight step applies the UNROUNDED f32 nd;
-                    # only the stored recurrence is SR-rounded (unbiased, so
-                    # momentum accumulation does not drift toward zero).
+                    # buffer's VMEM share.  The weight step applies the
+                    # UNROUNDED f32 nd; only the stored recurrence is
+                    # SR-rounded (unbiased).  MEASURED NEGATIVE RESULT on
+                    # v5e/mosaic (round 4): the MIXED f32-weight/bf16-delta
+                    # scratch combination compiles ~200x slower than either
+                    # all-f32 or all-bf16 state (16-21 ms/bunch vs 0.08-0.13;
+                    # bisected to the mere presence of the bf16 Ds scratch —
+                    # PRNG and stochastic_round exonerated).  Kept for
+                    # numerics coverage; engine=auto degrades over-VMEM
+                    # models to sr_state instead (BASELINE.md r4).
                     bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
                     Ds[l][r0:r1, :] = _sr_to_bf16(nd, bits, emulate_sr)
                     Ws[l][r0:r1, :] = w32 + nd
@@ -489,21 +494,24 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
 
     rule: "parity" = the reference's quirk-exact update (double 1/n, (1-m));
     "clean" = standard Polyak momentum on the mean-MSE gradient (matches
-    train.step.clean_train_step).  sr_state: weights/momentum are bfloat16
-    (biases stay f32) with hardware-PRNG stochastic rounding — halves the
-    resident state's VMEM footprint and update traffic (clean mode; TPU only).
+    train.step.clean_train_step).
 
-    sr_delta: MOMENTUM-only bf16 storage with hardware-PRNG stochastic
-    rounding; weights, biases, and every computed value stay f32, and the
-    weight step applies the unrounded f32 delta.  This is the variant that
-    fits the 16 kHz full-band 3084-2048x3-257 state in the mosaic VMEM
-    budget (93.6 MiB vs 123.5 f32; VERDICT r3 item 2).  Unlike sr_state it
-    is allowed with BOTH rules: the parity update FORMULA is unchanged, but
-    bit-exactness vs the f32 kernel is necessarily lost (~bf16-ulp unbiased
-    rounding noise on the stored momentum recurrence), so parity-fixture
-    tests must keep sr_delta=False; engine="auto" only selects it when the
-    f32 state misses VMEM, and training quality is gate-scored (TPU only —
-    hw PRNG).
+    sr_state: weights/momentum stored bfloat16 (biases stay f32; all compute
+    still f32/bf16-MXU) with hardware-PRNG stochastic rounding on both
+    stores — halves the resident state's VMEM footprint, which is what fits
+    the 16 kHz full-band 3084-2048x3-257 state in the mosaic budget
+    (VERDICT r3 item 2; measured 0.132 ms/bunch on v5e vs the 0.207 ms XLA
+    fallback).  Allowed with BOTH rules: the update FORMULA is unchanged,
+    but bit-exactness vs the f32 kernel is necessarily lost (unbiased
+    bf16-ulp rounding noise on the stored recurrence), so parity-fixture
+    tests must keep sr_state=False; engine="auto" only selects it when the
+    f32 state misses VMEM, and training quality is gate-scored.  run()
+    casts incoming f32 state to bf16 (a no-op after the first call).
+
+    sr_delta: MOMENTUM-only bf16 storage (weights stay f32).  MEASURED
+    NEGATIVE RESULT on v5e/mosaic: the mixed f32/bf16 scratch combination
+    executes ~200x slower than either uniform-dtype variant (see the kernel
+    comment); kept for coverage, never auto-selected.
 
     tile_rows: stream each opt.bunchsize-row update batch through the kernel
     in row tiles of this size (grid dim 1), accumulating the gradient into
@@ -519,9 +527,6 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         raise ValueError(f"bunchsize {bunch} must be a multiple of 8")
     if rule not in ("parity", "clean"):
         raise ValueError(f"unknown rule {rule!r}")
-    if sr_state and rule == "parity":
-        raise ValueError("sr_state (bf16 weights) is a clean-mode option; "
-                         "parity is fp32 end-to-end")
     if sr_state and sr_delta:
         raise ValueError("sr_state (bf16 weights+momentum) already implies "
                          "bf16 momentum; sr_delta is mutually exclusive")
@@ -559,13 +564,17 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
         bs2 = [b.reshape(1, -1) for b in state.params["b"]]
         dbs2 = [d.reshape(1, -1) for d in state.deltas["b"]]
         dropout = (cfg.dropout_vis, cfg.dropout_hid) if cfg.use_dropout else (0.0, 0.0)
+        ws_in = list(state.params["w"])
         ds_w = list(state.deltas["w"])
-        if sr_delta:
-            # bf16 momentum storage: cast on entry (no-op after the first
-            # call — the returned TrainState carries bf16 deltas thereafter)
+        if sr_state:
+            # bf16 state storage: cast on entry (no-op after the first call —
+            # the returned TrainState carries bf16 weights/deltas thereafter)
+            ws_in = [w.astype(jnp.bfloat16) for w in ws_in]
+            ds_w = [d.astype(jnp.bfloat16) for d in ds_w]
+        elif sr_delta:
             ds_w = [d.astype(jnp.bfloat16) for d in ds_w]
         ws, ds, bs, dbs = _resident_call(
-            x, t, list(state.params["w"]), ds_w, bs2, dbs2,
+            x, t, ws_in, ds_w, bs2, dbs2,
             scal, seed_arr, sizes=padded, bunch=tile, hidden=cfg.hidden,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
             valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret,
