@@ -125,8 +125,11 @@ def bench_mode(mode: str, n_samples: int, reps: int, bunch: int = BUNCH,
         def step(state, rng):
             return chunk_bf16(state, x, t, rng)
 
-    # warmup / compile (first remote compile+execute can take minutes)
+    # warmup / compile (first remote compile+execute can take minutes);
+    # two calls so dtype-changing state (sr modes) compiles both signatures
     state = step(state, jax.random.key(10))
+    _sync(state.params)
+    state = step(state, jax.random.key(11))
     _sync(state.params)
 
     t0 = time.perf_counter()
@@ -156,10 +159,10 @@ def bench_train_16k(reps: int, n_samples: int = 16384,
 
     engine="auto" exercises the production resolution: the f32 resident
     state misses the mosaic VMEM budget by ~1 MiB, so auto degrades to the
-    sr_state variant (bf16 weights+momentum with hardware-PRNG stochastic
-    rounding) and keeps residency instead of falling back to XLA (VERDICT r3
-    item 2; measured 0.132 vs 0.207 ms/bunch on v5e).  Reports which
-    engine/kwargs were actually selected.
+    sr_delta variant (bf16 momentum with hardware-PRNG stochastic rounding,
+    f32 weights) and keeps residency instead of falling back to XLA
+    (VERDICT r3 item 2; measured 0.120 vs 0.207 ms/bunch on v5e).  Reports
+    which engine/kwargs were actually selected.
     """
     import jax
     import jax.numpy as jnp
@@ -188,7 +191,14 @@ def bench_train_16k(reps: int, n_samples: int = 16384,
     def step(state, rng):
         return run(state, x, t, rng, opt.lrate, opt.momentum, opt.weightcost)
 
+    # TWO warmup calls: the sr engines auto-cast f32 state to bf16 on the
+    # first call, so the second call has a NEW input signature (bf16 state)
+    # and triggers its own compile — which must not land in the timed region
+    # (a single-warmup version of this bench misread sr_state as 21 ms/bunch
+    # when the steady state is 0.13; the 20 s second compile was being timed)
     state = step(state, jax.random.key(10))
+    _sync(state.params)
+    state = step(state, jax.random.key(11))
     _sync(state.params)
     t0 = time.perf_counter()
     for i in range(reps):

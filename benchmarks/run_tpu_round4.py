@@ -2,9 +2,9 @@
 
 Stages (each writes its artifact immediately, so a late failure keeps early
 results):
-  A. 16 kHz engine smoke + kernel bench: auto (resident sr_state — bf16
-     state + SR) vs explicit XLA fallback, plus the sr_delta negative-result
-     record -> artifacts/kernel_bench_r4.json
+  A. 16 kHz engine smoke + kernel bench: auto (resident sr_delta — bf16
+     momentum + SR, f32 weights) vs the sr_state variant vs the explicit
+     XLA fallback -> artifacts/kernel_bench_r4.json
   B. 16 kHz PSM flagship-scale run (2000 utts x 2 variants, 22 epochs, all
      noise kinds, held-out sweep) -> artifacts/demo_gate_psm_16k.json
   C. 16 kHz IRM control at the same scale -> artifacts/demo_gate_irm_16k.json
@@ -59,20 +59,18 @@ def stage_a():
     log("A: 16 kHz engine smoke + kernel bench")
     out = {}
     path = os.path.join(ART, "kernel_bench_r4.json")
-    # auto -> resident sr_state (bf16 state + SR): the production degrade for
-    # over-VMEM models.  sr_delta is benched once to record the measured
-    # mixed-dtype-scratch pathology (negative result, BASELINE.md r4).
+    # auto -> resident sr_delta (bf16 momentum + SR, f32 weights): the
+    # production degrade for over-VMEM models; sr_state (all-bf16 state) is
+    # the max-VMEM-savings alternative row
     for name, kw in (
         ("train16k_auto", dict(engine="auto")),
         ("train16k_xla", dict(engine="xla")),
-        ("train16k_sr_delta_negative", dict(engine="resident",
-                                            engine_kwargs={"sr_delta": True},
-                                            reps=3)),
+        ("train16k_sr_state", dict(engine="resident",
+                                   engine_kwargs={"sr_state": True})),
     ):
         try:
             t0 = time.time()
-            reps = kw.pop("reps", 8)
-            r = _round_floats(bench.bench_train_16k(reps=reps, n_samples=16384, **kw))
+            r = _round_floats(bench.bench_train_16k(reps=8, n_samples=16384, **kw))
             out[name] = r
             log(f"A: {name}: {r} ({time.time() - t0:.0f}s)")
         except Exception:
@@ -82,10 +80,10 @@ def stage_a():
     auto = out.get("train16k_auto", {})
     xla = out.get("train16k_xla", {})
     ok = (auto.get("engine") == "resident"
-          and auto.get("engine_kwargs", {}).get("sr_state")
+          and auto.get("engine_kwargs", {}).get("sr_delta")
           and "error" not in auto
           and auto.get("step_ms", 1e9) < xla.get("step_ms", 0.0))
-    log(f"A: sr_state resident on hardware (selected AND faster than XLA): "
+    log(f"A: sr_delta resident on hardware (selected AND faster than XLA): "
         f"{'OK' if ok else 'NO'}")
     return bool(ok)
 

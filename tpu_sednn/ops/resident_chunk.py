@@ -330,16 +330,17 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                     Ws[l][r0:r1, :] = _sr_to_bf16(w32 + nd, bits, emulate_sr)
                 elif sr_delta:
                     # bf16 MOMENTUM only (weights stay f32): halves the delta
-                    # buffer's VMEM share.  The weight step applies the
-                    # UNROUNDED f32 nd; only the stored recurrence is
-                    # SR-rounded (unbiased).  MEASURED NEGATIVE RESULT on
-                    # v5e/mosaic (round 4): the MIXED f32-weight/bf16-delta
-                    # scratch combination compiles ~200x slower than either
-                    # all-f32 or all-bf16 state (16-21 ms/bunch vs 0.08-0.13;
-                    # bisected to the mere presence of the bf16 Ds scratch —
-                    # PRNG and stochastic_round exonerated).  Kept for
-                    # numerics coverage; engine=auto degrades over-VMEM
-                    # models to sr_state instead (BASELINE.md r4).
+                    # buffer's VMEM share — what fits the 16 kHz
+                    # 3084-2048x3-257 state in the mosaic budget.  The weight
+                    # step applies the UNROUNDED f32 nd; only the stored
+                    # recurrence is SR-rounded (unbiased).  Measured on v5e
+                    # (round 4): 0.120 ms/bunch at 16 kHz — faster than both
+                    # sr_state (0.142, extra SR words) and the XLA fallback
+                    # (0.207).  (An earlier "200x slower" reading was a
+                    # benchmark artifact: the f32->bf16 state auto-cast
+                    # changes the jit signature after the first call, so a
+                    # single-warmup bench timed the SECOND mosaic compile —
+                    # warm both signatures before timing.)
                     bits = pltpu.bitcast(pltpu.prng_random_bits(nd.shape), jnp.uint32)
                     Ds[l][r0:r1, :] = _sr_to_bf16(nd, bits, emulate_sr)
                     Ws[l][r0:r1, :] = w32 + nd
@@ -496,22 +497,27 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     "clean" = standard Polyak momentum on the mean-MSE gradient (matches
     train.step.clean_train_step).
 
-    sr_state: weights/momentum stored bfloat16 (biases stay f32; all compute
-    still f32/bf16-MXU) with hardware-PRNG stochastic rounding on both
-    stores — halves the resident state's VMEM footprint, which is what fits
-    the 16 kHz full-band 3084-2048x3-257 state in the mosaic budget
-    (VERDICT r3 item 2; measured 0.132 ms/bunch on v5e vs the 0.207 ms XLA
-    fallback).  Allowed with BOTH rules: the update FORMULA is unchanged,
-    but bit-exactness vs the f32 kernel is necessarily lost (unbiased
-    bf16-ulp rounding noise on the stored recurrence), so parity-fixture
-    tests must keep sr_state=False; engine="auto" only selects it when the
-    f32 state misses VMEM, and training quality is gate-scored.  run()
-    casts incoming f32 state to bf16 (a no-op after the first call).
+    sr_delta: MOMENTUM-only bfloat16 storage (weights/biases and every
+    computed value stay f32; the weight step applies the unrounded f32
+    delta) with hardware-PRNG stochastic rounding on the stored recurrence.
+    Shrinks the resident state enough to fit the 16 kHz full-band
+    3084-2048x3-257 net in the mosaic budget (93.6 vs 123.5 MiB; VERDICT r3
+    item 2) and is the FASTEST 16 kHz variant measured on v5e: 0.120
+    ms/bunch vs sr_state 0.142 and the XLA fallback 0.207.  This is what
+    engine="auto" degrades to when the f32 state misses VMEM.
 
-    sr_delta: MOMENTUM-only bf16 storage (weights stay f32).  MEASURED
-    NEGATIVE RESULT on v5e/mosaic: the mixed f32/bf16 scratch combination
-    executes ~200x slower than either uniform-dtype variant (see the kernel
-    comment); kept for coverage, never auto-selected.
+    sr_state: weights AND momentum stored bfloat16 (biases f32) with SR on
+    both stores — the maximum-VMEM-savings variant (63 MiB at 16 kHz),
+    useful headroom for ~2x-bigger models; slightly slower than sr_delta
+    (2x the SR words) and quantizes the stored weights to bf16.
+
+    Both sr modes are allowed with BOTH rules: the update FORMULA is
+    unchanged, but bit-exactness vs the f32 kernel is necessarily lost
+    (unbiased bf16-ulp rounding noise), so parity-fixture tests keep them
+    off; training quality is gate-scored.  run() auto-casts incoming f32
+    state to bf16 where needed (a no-op after the first call — NOTE for
+    benchmarks: this changes the jit input signature after call one, so
+    warm BOTH signatures before timing).
 
     tile_rows: stream each opt.bunchsize-row update batch through the kernel
     in row tiles of this size (grid dim 1), accumulating the gradient into

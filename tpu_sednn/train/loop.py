@@ -44,14 +44,13 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
     input windows fit the mosaic VMEM budget (the canonical 8 kHz net uses
     ~99 MB of the 128 MB).  When the f32 state misses the budget — the
     16 kHz full-band 3084-2048x3-257 net at ~129 MiB, a real on-chip compile
-    failure — auto degrades to the sr_state resident variant (bf16 state
-    with hardware-PRNG stochastic rounding: 63 MiB, fits; measured
-    0.132 ms/bunch vs the XLA fallback's 0.207 on v5e) before falling back
-    to XLA.  (sr_delta — bf16 momentum only — would preserve f32 weights,
-    but the mixed-dtype scratch measured ~200x slower on mosaic; see
-    ops/resident_chunk.py.)  The extra kwargs returned must be merged into
-    engine_kwargs by the caller.  TPU_SEDNN_NO_SR_FALLBACK=1 disables the
-    bf16 degrade (over-budget models then take XLA)."""
+    failure — auto degrades to the sr_delta resident variant (bf16 MOMENTUM
+    storage with hardware-PRNG stochastic rounding, weights stay f32:
+    93.6 MiB, fits; measured 0.120 ms/bunch vs sr_state's 0.142 and the XLA
+    fallback's 0.207 on v5e) before falling back to XLA.  The extra kwargs
+    returned must be merged into engine_kwargs by the caller.
+    TPU_SEDNN_NO_SR_FALLBACK=1 disables the bf16 degrade (over-budget
+    models then take XLA)."""
     if jax.default_backend() != "tpu":
         return "xla", {}
     from tpu_sednn.ops.resident_chunk import resident_fits_vmem
@@ -66,8 +65,8 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
 
     if (not opts["sr_state"] and not opts["sr_delta"]
             and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
-            and resident_fits_vmem(cfg, opt, **{**opts, "sr_state": True})):
-        return "resident", {"sr_state": True}
+            and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
+        return "resident", {"sr_delta": True}
     return "xla", {}
 
 
