@@ -51,6 +51,12 @@ def test_enhance_cli_runs(tmp_path):
     np.testing.assert_allclose(y_stream, y, atol=2e-4)
     rc = main([out_dir, wav_in, "--wts", wts, "--norm", norm,
                "--context", str(context), "--targ-offset", str(to),
+               "--stream", "4", "--stream-device"])
+    assert rc == 0
+    y_dev, _ = read_wav(out)
+    np.testing.assert_allclose(y_dev, y, atol=2e-4)
+    rc = main([out_dir, wav_in, "--wts", wts, "--norm", norm,
+               "--context", str(context), "--targ-offset", str(to),
                "--quant", "int8"])
     assert rc == 0
     y_q, _ = read_wav(out)

@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                          "blocks of this many frames (0 = offline decode); "
                          "output is sample-exact vs offline, gv/smoothing "
                          "must be off")
+    ap.add_argument("--stream-device", action="store_true",
+                    help="with --stream: carry the rolling streaming state "
+                         "as device arrays inside one jitted step "
+                         "(DeviceStreamingEnhancer — the on-chip serving "
+                         "path; requires targ_offset < context-1)")
     args = ap.parse_args(argv)
 
     from tpu_sednn.dsp import StftConfig
@@ -118,11 +123,14 @@ def main(argv=None) -> int:
             min_gain_db=args.min_gain_db, max_gain_db=args.max_gain_db,
         )
         if args.stream > 0:
-            from tpu_sednn.enhance.streaming import StreamingEnhancer
+            from tpu_sednn.enhance.streaming import (
+                DeviceStreamingEnhancer, StreamingEnhancer,
+            )
 
-            se = StreamingEnhancer(params, mcfg, enh_cfg, mean, inv_std,
-                                   target_norm=target_norm,
-                                   block_frames=args.stream, quant=args.quant)
+            cls = DeviceStreamingEnhancer if args.stream_device else StreamingEnhancer
+            se = cls(params, mcfg, enh_cfg, mean, inv_std,
+                     target_norm=target_norm, block_frames=args.stream,
+                     quant=args.quant)
             y = np.concatenate([se.push(x), se.flush()])
         elif args.quant == "int8":
             from tpu_sednn.enhance.decode import make_serving_decoder
