@@ -233,17 +233,27 @@ def stage_g():
               indent=2)
 
 
-def main():
+def main(argv=None):
     t0 = time.time()
     import jax
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    if not stage_a():
+    argv = sys.argv[1:] if argv is None else argv
+    stages = "abcdefg"
+    for a in argv:
+        if a.startswith("--stages="):
+            stages = a.split("=", 1)[1].lower()
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"stages={stages}")
+    if "a" in stages and not stage_a():
         # bf16 degrade unusable/slower on this hardware: pin the 16 kHz runs
         # to the known-good XLA fallback rather than crashing two flagship runs
         os.environ["TPU_SEDNN_NO_SR_FALLBACK"] = "1"
         log("A: falling back to XLA for over-VMEM models (TPU_SEDNN_NO_SR_FALLBACK=1)")
-    for stage in (stage_b, stage_c, stage_d, stage_e, stage_f, stage_g):
+    all_stages = {"b": stage_b, "c": stage_c, "d": stage_d, "e": stage_e,
+                  "f": stage_f, "g": stage_g}
+    for key, stage in all_stages.items():
+        if key not in stages:
+            continue
         try:
             stage()
         except Exception:
