@@ -150,3 +150,42 @@ def test_demo_gate_pfile_recipe_tracked_thresholds():
         m = res[name]
         assert m["finite"], name
         assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+
+
+# 16 kHz mask heads at FLAGSHIP scale (round 4, benchmarks/run_tpu_round4.py
+# stages B/C: 2000 utts x 2 variants, 22 epochs, all noise families, held-out
+# sweep, trained on the sr_delta resident engine).  Measured PSM
+# +2.47/+2.83/+7.70 dB LSD (stoi +0.009/-0.007/-0.041), IRM
+# +2.26/+2.55/+7.04.  PSM dominates IRM at 16 kHz like at 8 kHz; the lps
+# model keeps the LSD-primary 16k slot (see BASELINE.md r4 — scale saturates
+# the 16 kHz gate).  Thresholds sit under the measured values with margin;
+# the stoi bound is a proxy tripwire (see STOI_PROXY_TRIPWIRE above).
+ART_PSM_16K = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "demo_gate_psm_16k.json")
+MIN_LSD_GAIN_PSM_16K = {"test1": 1.9, "test2": 2.2, "test3": 6.8}
+ART_IRM_16K = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "demo_gate_irm_16k.json")
+MIN_LSD_GAIN_IRM_16K = {"test1": 1.7, "test2": 2.0, "test3": 6.2}
+STOI_PROXY_TRIPWIRE_MASK_16K = -0.08
+
+
+def test_demo_gate_psm_16k_tracked_thresholds():
+    if not os.path.exists(ART_PSM_16K):
+        pytest.skip("artifacts/demo_gate_psm_16k.json not yet produced")
+    res = json.load(open(ART_PSM_16K))
+    for name, min_gain in MIN_LSD_GAIN_PSM_16K.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+        assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE_MASK_16K, (name, m["stoi_gain"])
+
+
+def test_demo_gate_irm_16k_tracked_thresholds():
+    if not os.path.exists(ART_IRM_16K):
+        pytest.skip("artifacts/demo_gate_irm_16k.json not yet produced")
+    res = json.load(open(ART_IRM_16K))
+    for name, min_gain in MIN_LSD_GAIN_IRM_16K.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+        assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE_MASK_16K, (name, m["stoi_gain"])
