@@ -189,3 +189,26 @@ def test_demo_gate_irm_16k_tracked_thresholds():
         assert m["finite"], name
         assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
         assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE_MASK_16K, (name, m["stoi_gain"])
+
+
+# Unseen-noise generalization protocol (round 4, run_tpu_round4 stage D):
+# flagship PSM trained on 5 families, evaluated on all 7 with clean truth.
+# Measured: unseen aggregate LSD +5.37 dB / STOI +0.067; gap (seen-unseen)
+# LSD -0.37 (unseen BETTER), STOI +0.019.  Thresholds bound regression.
+ART_UNSEEN = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                          "unseen_noise.json")
+
+
+def test_unseen_noise_generalization_tracked():
+    if not os.path.exists(ART_UNSEEN):
+        pytest.skip("artifacts/unseen_noise.json not yet produced (TPU run)")
+    gen = json.load(open(ART_UNSEEN))["noise_generalization"]
+    for kind in ("factory", "hfchannel"):
+        assert gen["per_kind"][kind]["seen"] is False
+        assert gen["per_kind"][kind]["lsd_gain"] >= 2.0, kind
+        assert gen["per_kind"][kind]["stoi_gain"] >= 0.0, kind
+    assert gen["unseen"]["lsd_gain"] >= 4.0
+    assert gen["unseen"]["stoi_gain"] >= 0.03
+    # generalization gap bounded: unseen within 1 dB LSD / 0.06 STOI of seen
+    assert gen["gap"]["lsd_gain"] <= 1.0
+    assert gen["gap"]["stoi_gain"] <= 0.06
