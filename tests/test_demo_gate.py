@@ -235,3 +235,22 @@ def test_demo_gate_psm_reverb_tracked_thresholds():
         assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
     # the reason this variant exists: real-world reverberant clip STOI
     assert res["test3"]["stoi_gain"] >= 0.01
+
+
+# IBM head (round 4 stage F, 800 utts x 2, LC5dB targets): the last head
+# variant with quality evidence. Measured +4.18/+5.93/+4.23 dB LSD.
+ART_IBM = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "demo_gate_ibm.json")
+MIN_LSD_GAIN_IBM = {"test1": 3.5, "test2": 5.0, "test3": 3.5}
+
+
+def test_demo_gate_ibm_tracked_thresholds():
+    if not os.path.exists(ART_IBM):
+        pytest.skip("artifacts/demo_gate_ibm.json not yet produced (TPU run)")
+    res = json.load(open(ART_IBM))
+    for name, min_gain in MIN_LSD_GAIN_IBM.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+        assert m["stoi_gain"] >= -0.05, (name, m["stoi_gain"])  # proxy tripwire
+        assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
