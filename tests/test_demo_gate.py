@@ -71,13 +71,18 @@ def test_demo_gate_tracked_thresholds():
         assert m["stoi_gain"] >= STOI_PROXY_TRIPWIRE, (name, m["stoi_gain"])
 
 
-# 16 kHz full-band variant (benchmarks/run_16k_full.py): gates the clips at
-# their NATIVE rate.  Round-3 re-score with held-out-frozen decode params
-# measured +3.67/+3.02/+8.41 dB; thresholds with margin.
-MIN_LSD_GAIN_16K = {"test1": 2.5, "test2": 2.0, "test3": 7.0}
+# 16 kHz tracked slot — since round 4 held by the FLAGSHIP-SCALE PSM mask
+# head (artifacts/mc_full_psm_16k_xl: 2000x2 utts, 22 epochs, sr_delta
+# resident engine).  It trades ~1 dB proxy-LSD against the old lps model
+# (+2.47/+2.83/+7.70 vs +3.67/+3.02/+8.41) but dominates on the OTHER three
+# metric families: proxy STOI -0.041 worst-case vs lps's -0.157, SegSNR
+# +2.28/+3.41/-0.62 and PESQ(est) all positive — and its held-out sweep
+# reads +11.0 dB LSD / +0.098 STOI vs clean truth.  The lps run stays
+# available at artifacts/mc_full_16k.
+MIN_LSD_GAIN_16K = {"test1": 2.0, "test2": 2.2, "test3": 7.0}
 # proxy-vs-shipped regression TRIPWIRE (not a quality bar; worst measured
-# -0.157) — see STOI_PROXY_TRIPWIRE above
-STOI_PROXY_TRIPWIRE_16K = -0.25
+# -0.041) — see STOI_PROXY_TRIPWIRE above
+STOI_PROXY_TRIPWIRE_16K = -0.08
 
 
 def test_demo_gate_16k_tracked_thresholds():
