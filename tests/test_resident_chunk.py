@@ -609,3 +609,36 @@ def test_resident_sr_delta_interpret_close_to_f32(rule):
     # a second call consumes the bf16 deltas without re-cast issues
     st_sr2 = run(st_sr, x, t, jnp.int32(4))
     assert int(st_sr2.step) == 6
+
+
+def test_dp_resident_sr_delta_matches_single_chip():
+    """DP x sr_delta (bf16 momentum + SR): every device rounds with the SAME
+    per-(bunch,layer) PRNG stream, so replicas stay identical; vs the
+    single-chip kernel the DP gradient is summed in a different order
+    (per-device partial dots + butterfly), and the bf16 rounding amplifies
+    those ulp-level differences to bf16 ulps — so the comparison carries
+    bf16 tolerance, unlike the exact f32 DP tests."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    sizes = (128, 128, 128)
+    cfg = ModelConfig(layersizes=sizes)
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((64, sizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((64, sizes[-1])), jnp.float32)
+
+    st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    sr_delta=True)(
+        init_train_state(params), x, t, jnp.int32(5))
+    mesh = make_mesh(n_data=2, n_model=1)
+    run = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                       bf16=False, sr_delta=True)
+    st2 = run(init_train_state(replicate(params, mesh)), x, t, jnp.int32(5))
+    assert int(st2.step) == int(st1.step) == 2
+    for l in range(2):
+        assert st2.deltas["w"][l].dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(st2.params["w"][l]),
+                                   np.asarray(st1.params["w"][l]),
+                                   rtol=2e-2, atol=2e-4)
