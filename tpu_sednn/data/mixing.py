@@ -220,9 +220,13 @@ def synth_rir(rng: np.random.Generator, sr: int,
 def apply_reverb(x: np.ndarray, h: np.ndarray, wet: float = 1.0) -> np.ndarray:
     """Convolve with an RIR (same-length output) and dry/wet mix; the result
     is RMS-renormalized to the dry level so downstream SNR mixing is
-    unaffected by the room gain."""
+    unaffected by the room gain.  FFT convolution: the direct product is
+    O(n*len(h)) ~ 150M MACs for a 2 s 16 kHz utterance x 0.3 s RIR."""
     x = np.asarray(x, np.float32)
-    rev = np.convolve(x, np.asarray(h, np.float32))[: len(x)]
+    h = np.asarray(h, np.float32)
+    n_fft = 1 << int(np.ceil(np.log2(len(x) + len(h) - 1)))
+    rev = np.fft.irfft(np.fft.rfft(x, n_fft) * np.fft.rfft(h, n_fft),
+                       n_fft)[: len(x)].astype(np.float32)
     y = (1.0 - wet) * x + wet * rev
     rms_x = float(np.sqrt(np.mean(x**2))) + 1e-12
     rms_y = float(np.sqrt(np.mean(y**2))) + 1e-12
