@@ -5,6 +5,7 @@ from tpu_sednn.enhance.decode import (
     enhance_lps,
     equalize_gv,
     finalize_lps,
+    limit_gain,
     lps_from_mask,
     make_bucketed_decoder,
     make_serving_decoder,
