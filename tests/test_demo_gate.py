@@ -259,3 +259,21 @@ def test_demo_gate_ibm_tracked_thresholds():
         assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
         assert m["stoi_gain"] >= -0.05, (name, m["stoi_gain"])  # proxy tripwire
         assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
+
+
+# sr_delta engine quality control (round 4): same 16 kHz PSM XL config
+# trained on the resident sr_delta engine vs the XLA f32 fallback — CV and
+# gate numbers must stay within run noise of each other.
+ART_SR_CTL = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                          "sr_delta_quality_control.json")
+
+
+def test_sr_delta_quality_control_tracked():
+    if not os.path.exists(ART_SR_CTL):
+        pytest.skip("artifacts/sr_delta_quality_control.json not yet produced")
+    d = json.load(open(ART_SR_CTL))
+    cv = d["cv_final"]
+    assert abs(cv["sr_delta"] - cv["xla_ctl"]) / cv["xla_ctl"] < 0.02
+    for clip, g in d["gate"].items():
+        assert abs(g["sr_delta"]["lsd_gain"] - g["xla_ctl"]["lsd_gain"]) < 1.0, clip
+        assert abs(g["sr_delta"]["stoi_gain"] - g["xla_ctl"]["stoi_gain"]) < 0.03, clip
