@@ -140,31 +140,7 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     np.savetxt(os.path.join(mc.out_dir, "gv.txt"), gv_ref)
 
     if mc.head == "psm":
-        # phase-sensitive mask (Erdogan et al. 2015): needs clean/noisy PHASE,
-        # so targets come from the waveforms' STFTs, not the LPS pair.
-        # Host numpy on purpose: target prep is per-utterance VARIABLE-length,
-        # and a jitted STFT would recompile per distinct length — over this
-        # environment's remote-compile relay that costs tens of minutes for a
-        # 2000-utterance corpus (measured; the numpy path is seconds).
-        from tpu_sednn.data.masks import psm_from_stft
-        from tpu_sednn.dsp.stft import _rdft_matrices
-
-        cos_m, sin_m = _rdft_matrices(cfg_stft.win_len, cfg_stft.n_fft,
-                                      cfg_stft.window)
-
-        def _ri_np(wav):
-            n_frames = 1 + (len(wav) - cfg_stft.win_len) // cfg_stft.hop
-            idx = (np.arange(n_frames)[:, None] * cfg_stft.hop
-                   + np.arange(cfg_stft.win_len)[None, :])
-            fr = np.asarray(wav, np.float32)[idx]
-            return fr @ cos_m, fr @ sin_m
-
-        def _psm(c_wav, n_wav):
-            cre, cim = _ri_np(c_wav)
-            yre, yim = _ri_np(n_wav)
-            return psm_from_stft(cre, cim, yre, yim)
-
-        targets_all = [_psm(c, n) for c, n in zip(cleans, noisys)]
+        targets_all = _psm_targets(cleans, noisys, cfg_stft)
     elif mask_head:
         # Interspeech'15 variant: same trainer, mask targets + sigmoid head
         from tpu_sednn.data.masks import ibm_from_lps, irm_from_lps
@@ -363,6 +339,57 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
     log.info(f"[mc] done in {results['total_seconds']:.0f}s; "
              f"{samples_per_sec:.0f} samples/s during training")
     return results
+
+
+def _psm_targets(cleans, noisys, cfg_stft) -> List[np.ndarray]:
+    """Phase-sensitive-mask targets (Erdogan et al. 2015) for pairwise
+    (clean, noisy) waveform lists.
+
+    PSM needs clean/noisy PHASE, so targets come from the waveforms' STFTs,
+    not the LPS pair.  Host numpy ON PURPOSE: per-utterance lengths vary,
+    and a jitted STFT would recompile per distinct length — over this
+    environment's remote-compile relay that costs tens of minutes for a
+    2000-utterance corpus (measured).  Batched by length bucket: all frames
+    of a bucket go through FOUR big BLAS matmuls instead of four small ones
+    per utterance (the serial loop was ~10 min of the flagship stage; clean
+    utterances repeated per noise variant are transformed once).
+    """
+    from tpu_sednn.data.masks import psm_from_stft
+    from tpu_sednn.dsp.stft import _rdft_matrices
+
+    win, hop = cfg_stft.win_len, cfg_stft.hop
+    cos_m, sin_m = _rdft_matrices(win, cfg_stft.n_fft, cfg_stft.window)
+
+    def _frames(wav):
+        n_frames = 1 + (len(wav) - win) // hop
+        idx = (np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :])
+        return np.asarray(wav, np.float32)[idx]
+
+    by_len: Dict[int, List[int]] = {}
+    for i, c in enumerate(cleans):
+        by_len.setdefault(len(c), []).append(i)
+    out: List[np.ndarray] = [None] * len(cleans)
+    for _length, idxs in sorted(by_len.items()):
+        # clean STFTs deduped by ndarray identity (variants share the clean)
+        cpos: Dict[int, int] = {}
+        cstack = []
+        for i in idxs:
+            k = id(cleans[i])
+            if k not in cpos:
+                cpos[k] = len(cstack)
+                cstack.append(_frames(cleans[i]))
+        cfr = np.stack(cstack)  # (U, F, win)
+        nfr = np.stack([_frames(noisys[i]) for i in idxs])  # (B, F, win)
+        u, f = cfr.shape[0], cfr.shape[1]
+        b = nfr.shape[0]
+        cre = (cfr.reshape(u * f, win) @ cos_m).reshape(u, f, -1)
+        cim = (cfr.reshape(u * f, win) @ sin_m).reshape(u, f, -1)
+        yre = (nfr.reshape(b * f, win) @ cos_m).reshape(b, f, -1)
+        yim = (nfr.reshape(b * f, win) @ sin_m).reshape(b, f, -1)
+        for r, i in enumerate(idxs):
+            j = cpos[id(cleans[i])]
+            out[i] = psm_from_stft(cre[j], cim[j], yre[r], yim[r])
+    return out
 
 
 def _featurize(wavs, cfg_stft, batch: int = 64):
