@@ -570,7 +570,8 @@ def _demo_gate_summary():
                     ("psm_16k", "demo_gate_psm_16k.json"),
                     ("irm_16k", "demo_gate_irm_16k.json"),
                     ("ibm", "demo_gate_ibm.json"),
-                    ("psm_reverb", "demo_gate_psm_reverb.json")):
+                    ("psm_reverb", "demo_gate_psm_reverb.json"),
+                    ("psm_reverb25", "demo_gate_psm_reverb25.json")):
         p = os.path.join(here, "artifacts", fn)
         if not os.path.exists(p):
             continue
