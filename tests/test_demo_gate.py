@@ -277,3 +277,24 @@ def test_sr_delta_quality_control_tracked():
     for clip, g in d["gate"].items():
         assert abs(g["sr_delta"]["lsd_gain"] - g["xla_ctl"]["lsd_gain"]) < 1.0, clip
         assert abs(g["sr_delta"]["stoi_gain"] - g["xla_ctl"]["stoi_gain"]) < 0.03, clip
+
+
+# Reverb dose-response winner (reverb_prob=0.25): within ~0.5 dB LSD of the
+# dry flagship with all proxies positive and 4x its test3 real-world STOI —
+# the recommended deployment recipe. Measured +4.56/+7.52/+4.67 dB LSD.
+ART_PSM_REVERB25 = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                                "demo_gate_psm_reverb25.json")
+MIN_LSD_GAIN_PSM_REVERB25 = {"test1": 3.8, "test2": 6.5, "test3": 4.0}
+
+
+def test_demo_gate_psm_reverb25_tracked_thresholds():
+    if not os.path.exists(ART_PSM_REVERB25):
+        pytest.skip("artifacts/demo_gate_psm_reverb25.json not yet produced")
+    res = json.load(open(ART_PSM_REVERB25))
+    for name, min_gain in MIN_LSD_GAIN_PSM_REVERB25.items():
+        m = res[name]
+        assert m["finite"], name
+        assert m["lsd_gain"] >= min_gain, (name, m["lsd_gain"], min_gain)
+        assert m["stoi_gain"] >= 0.0, (name, m["stoi_gain"])
+        assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
+    assert res["test3"]["stoi_gain"] >= 0.01  # real-world robustness claim
