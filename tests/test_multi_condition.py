@@ -142,3 +142,32 @@ def test_traincache_chunking_equivalent(tmp_path):
         MultiConditionConfig(out_dir=str(tmp_path / "small"), traincache=64,
                              **base), logger=Logger(stream=None))
     assert r_big["cv_hist"] == r_small["cv_hist"]
+
+
+def test_resident_padded_chunks_match_xla(tmp_path):
+    """Resident engine with fixed-capacity padded chunks (dynamic n_real —
+    one compile serves every chunk incl. the remainder) trains to the same
+    result as the XLA engine's trimmed chunks (dropout off)."""
+    base = dict(
+        n_utts=12,
+        snrs=(0.0,),
+        noise_kinds=("white",),
+        fea_context=3,
+        targ_offset=1,
+        hidden=(64,),
+        n_epochs=2,
+        bunchsize=32,
+        use_dp_mesh=False,
+        head="lps",
+        dropout=(0.0, 0.0),
+        traincache=64,  # forces multiple chunks + a padded remainder
+    )
+    r_xla = run_multi_condition(
+        MultiConditionConfig(out_dir=str(tmp_path / "xla"), engine="xla",
+                             **base), logger=Logger(stream=None))
+    r_res = run_multi_condition(
+        MultiConditionConfig(out_dir=str(tmp_path / "res"), engine="resident",
+                             engine_kwargs={"interpret": True, "bf16": False},
+                             **base), logger=Logger(stream=None))
+    for a, b in zip(r_xla["cv_hist"], r_res["cv_hist"]):
+        assert abs(a - b) / max(abs(a), 1e-9) < 1e-4, (a, b)

@@ -46,8 +46,16 @@ class MultiConditionConfig:
     # (2x a ~6 GB feature array) would not fit HBM.  102400 is a multiple of
     # every bunchsize used, so chunking does not change the update math
     # (only the final chunk drops a partial bunch, as one whole-epoch call
-    # would).
+    # would).  On the resident engine the FINAL partial chunk is padded to
+    # traincache capacity with a dynamic n_real bunch count, so one mosaic
+    # compile serves every chunk (a second remainder-shape compile used to
+    # cost ~40-60 s of each run).
     traincache: int = 102400
+    # single-device chunk-runner engine ("auto" = resident on TPU when the
+    # state fits VMEM, degrading per train.loop._auto_engine) + extra factory
+    # kwargs (tests use engine="resident", {"interpret": True})
+    engine: str = "auto"
+    engine_kwargs: Dict = None  # type: ignore[assignment]
     # training head: "psm" phase-sensitive mask (Erdogan'15; THIS REPO'S
     # FLAGSHIP — dominates the IRM run on 8/9 demo-gate metrics at equal
     # scale, BASELINE.md), "irm" (the Interspeech'15 variant), "ibm", or
@@ -188,18 +196,29 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
         state = init_train_state(replicate(params, mesh))
         run = make_dp_train_chunk(mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize), mesh)
         to_dev = lambda a: shard_batch(jnp.asarray(a), mesh)
+        pad_chunks = False
         log.info(f"[mc] data-parallel over {n_dev} devices")
     else:
-        from tpu_sednn.train.loop import make_chunk_runner
+        from tpu_sednn.train.loop import _auto_engine, make_chunk_runner
 
         state = init_train_state(params)
         # "auto": the VMEM-resident megakernel on TPU (same parity math,
         # hw-PRNG mask streams), plain XLA elsewhere; memoized so the
         # momentum ramp reuses one compile
+        ekw = dict(mc.engine_kwargs or {})
+        resolved = mc.engine
+        if resolved == "auto":
+            resolved, extra = _auto_engine(
+                mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize), ekw)
+            ekw.update(extra)
         run = make_chunk_runner(mcfg, recipe_opt_schedule(0, mc.lrate, mc.bunchsize),
-                                "auto")
+                                resolved, **ekw)
+        # resident engine: pad the final partial chunk to traincache capacity
+        # and pass a dynamic n_real, so ONE mosaic compile serves every chunk
+        pad_chunks = resolved == "resident"
         to_dev = jnp.asarray
-        log.info(f"[mc] single-device training ({n_dev} visible, engine=auto)")
+        log.info(f"[mc] single-device training ({n_dev} visible, "
+                 f"engine={resolved} {ekw if ekw else ''})")
 
     xj, tj = to_dev(x), to_dev(t)
     xcj, tcj = jnp.asarray(x_cv), jnp.asarray(t_cv)
@@ -235,6 +254,20 @@ def run_multi_condition(mc: MultiConditionConfig, logger: Optional[Logger] = Non
             idx = perm[st_i : st_i + mc.traincache]
             if idx.shape[0] < mc.bunchsize:
                 continue  # partial bunch dropped (BP_GPU.cu:315-318 semantics)
+            if pad_chunks and xj.shape[0] > mc.traincache:
+                # fixed-capacity chunk + dynamic n_real: grid steps beyond
+                # the real bunches are no-ops, so the padded gather rows
+                # (index 0 repeats) are never touched — exact, one compile
+                n_real = idx.shape[0] // mc.bunchsize
+                if idx.shape[0] < mc.traincache:
+                    idx = jnp.concatenate(
+                        [idx, jnp.zeros(mc.traincache - idx.shape[0], idx.dtype)])
+                state = run(state, jnp.take(xj, idx, axis=0),
+                            jnp.take(tj, idx, axis=0),
+                            jax.random.fold_in(sub, ci),
+                            opt.lrate, opt.momentum, opt.weightcost,
+                            n_real=n_real)
+                continue
             state = run(state, jnp.take(xj, idx, axis=0),
                         jnp.take(tj, idx, axis=0),
                         jax.random.fold_in(sub, ci),
