@@ -298,3 +298,22 @@ def test_demo_gate_psm_reverb25_tracked_thresholds():
         assert m["stoi_gain"] >= 0.0, (name, m["stoi_gain"])
         assert m["segsnr_gain"] >= 0.0, (name, m["segsnr_gain"])
     assert res["test3"]["stoi_gain"] >= 0.01  # real-world robustness claim
+
+
+# Flagship seed-jitter record (round 4): seed-1 rerun of the flagship
+# protocol must stay within measured run-to-run jitter of seed 0 and pass
+# the same quality bars — flagship quality is recipe, not seed luck.
+ART_JITTER = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                          "flagship_seed_jitter.json")
+
+
+def test_flagship_seed_jitter_tracked():
+    if not os.path.exists(ART_JITTER):
+        pytest.skip("artifacts/flagship_seed_jitter.json not yet produced")
+    d = json.load(open(ART_JITTER))
+    assert d["max_abs_delta"]["lsd_gain"] <= 1.0
+    assert d["max_abs_delta"]["stoi_gain"] <= 0.02
+    for clip, g in d["gate"].items():
+        assert g["seed1"]["lsd_gain"] >= 4.0, clip
+        assert g["seed1"]["stoi_gain"] >= 0.0, clip
+        assert g["seed1"]["segsnr_gain"] >= 0.0, clip
