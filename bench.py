@@ -459,6 +459,46 @@ def validate_dp_dropout() -> dict:
             "device_count_invariant": bool(invariant_ok), "on_tpu": True}
 
 
+# The driver captures only the last 2000 chars of stdout and parses the final
+# JSON line; round 4's line outgrew that window and the round recorded NO
+# machine-readable numbers (BENCH_r04.json parsed:false).  The emitted line is
+# therefore hard-bounded: compact separators, collapsed quality summaries
+# (full detail goes to artifacts/bench_detail.json), and a guard that drops
+# optional keys — least important first — until the line fits.
+MAX_LINE_CHARS = 1800
+_DROP_ORDER = (
+    "noise_generalization", "train16k_engine_kwargs", "demo_gate",
+    "stream_step_ms_block1", "stream_latency_ms_block1", "stream_rtf_block1",
+    "decode_int8_audio_s_per_s", "decode_irm_audio_s_per_s",
+    "speed_of_light_step_ms", "megabatch4096_audio_s_per_s",
+)
+
+
+def render_line(payload: dict) -> str:
+    """ONE compact JSON line guaranteed to fit the driver's capture window.
+
+    Never drops the headline keys (metric/value/unit/vs_baseline); optional
+    keys fall off in _DROP_ORDER if the line is somehow too long (each drop
+    is recorded under "dropped" so truncation is visible, not silent)."""
+    payload = dict(payload)
+    line = json.dumps(payload, separators=(",", ":"))
+    dropped = []
+    for key in _DROP_ORDER:
+        if len(line) <= MAX_LINE_CHARS:
+            break
+        if key in payload:
+            payload.pop(key)
+            dropped.append(key)
+            payload["dropped"] = dropped
+            line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > MAX_LINE_CHARS:  # belt and braces: keep headline keys only
+        payload = {k: payload[k] for k in
+                   ("metric", "value", "unit", "vs_baseline") if k in payload}
+        payload["dropped"] = "all_optional"
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main():
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     # 10 reps: single relay round-trips jitter by ~±15%; ~0.25 s of timed
@@ -511,10 +551,40 @@ def main():
     print(f"# dropout validation: {dropout_check}", file=sys.stderr)
     print(f"# dp dropout validation: {dp_dropout}", file=sys.stderr)
 
+    payload = build_payload(
+        parity=parity, clean=clean, xla_parity=xla_parity, mega=mega,
+        train16k=train16k, stream8=stream8, stream1=stream1, decode=decode,
+        decode_16k=decode_16k, decode_irm=decode_irm, decode_int8=decode_int8,
+        dropout_check=dropout_check, dp_dropout=dp_dropout,
+        gate_detail=(gate_detail := _demo_gate_summary()),
+        gen_detail=(gen_detail := _unseen_noise_summary()))
+    # Full detail (per-gate rows, mtimes, dropout sub-checks, seen/unseen/gap
+    # tables) goes to an artifact next to the compact line — the line itself
+    # must stay inside the driver's 2000-char stdout capture window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({"payload": payload, "demo_gate_detail": gate_detail,
+                       "noise_generalization_detail": gen_detail,
+                       "dropout_check": dropout_check,
+                       "dp_dropout_check": dp_dropout}, f, indent=1)
+        print(f"# full detail -> {detail_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# detail artifact write failed: {e}", file=sys.stderr)
+    print(render_line(payload))
+
+
+def build_payload(*, parity, clean, xla_parity, mega, train16k, stream8,
+                  stream1, decode, decode_16k, decode_irm, decode_int8,
+                  dropout_check, dp_dropout, gate_detail, gen_detail) -> dict:
+    """The exact dict main() emits — factored out so tests can assert the
+    rendered line parses and fits the driver's capture window without a TPU
+    (tests/test_bench_line.py, VERDICT r4 item 1)."""
     value = parity["audio_s_per_s"]
     sol_ms = (_train_flops_per_sample() * BUNCH / (PEAK_BF16_TFLOPS * 1e12)
               * 1000.0)
-    print(json.dumps({
+    return {
         "metric": "train_audio_seconds_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "audio_s/s/chip",
@@ -540,11 +610,42 @@ def main():
         "stream_rtf_block1": round(stream1["rtf"], 5),
         "stream_step_ms_block1": round(stream1["step_ms"], 2),
         "stream_latency_ms_block1": round(stream1["algorithmic_latency_ms"], 1),
-        "dropout_check": dropout_check,
-        "dp_dropout_check": dp_dropout,
-        "demo_gate": _demo_gate_summary(),
-        "noise_generalization": _unseen_noise_summary(),
-    }))
+        "dropout_ok": dropout_check.get("pass"),
+        "dp_dropout_ok": dp_dropout.get("pass"),
+        "demo_gate": _demo_gate_compact(gate_detail),
+        "noise_generalization": _unseen_noise_compact(gen_detail),
+    }
+
+
+def _demo_gate_compact(detail):
+    """Collapse the 9-gate table to pass counts + worst margins (VERDICT r4
+    item 1); the per-gate rows live in artifacts/bench_detail.json."""
+    rows = {k: v for k, v in (detail or {}).items() if isinstance(v, dict)}
+    if not rows:
+        return None
+    lsd = [v["min_lsd_gain_db"] for v in rows.values()
+           if v.get("min_lsd_gain_db") is not None]
+    stoi = [v["min_stoi_gain"] for v in rows.values()
+            if v.get("min_stoi_gain") is not None]
+    return {"gates_pass": sum(1 for v in rows.values() if v.get("pass")),
+            "gates_total": len(rows),
+            "min_lsd": round(min(lsd), 2) if lsd else None,
+            "min_stoi": round(min(stoi), 4) if stoi else None}
+
+
+def _unseen_noise_compact(detail):
+    """gap/unseen LSD + family counts only; full seen/unseen/gap tables are
+    in the detail artifact."""
+    if not detail:
+        return None
+    out = {}
+    for grp in ("unseen", "gap"):
+        if detail.get(grp) and "lsd_gain" in detail[grp]:
+            out[f"{grp}_lsd"] = round(detail[grp]["lsd_gain"], 2)
+    for k in ("n_seen_families", "n_unseen_families"):
+        if k in detail:
+            out[k] = detail[k]
+    return out or None
 
 
 def _demo_gate_summary():
@@ -603,6 +704,11 @@ def _unseen_noise_summary():
     for grp in ("seen", "unseen", "gap"):
         if gen.get(grp):
             out[grp] = {k: round(float(v), 4) for k, v in gen[grp].items()}
+    per_kind = gen.get("per_kind") or {}
+    if per_kind:
+        out["n_seen_families"] = sum(1 for v in per_kind.values() if v.get("seen"))
+        out["n_unseen_families"] = sum(1 for v in per_kind.values()
+                                       if not v.get("seen"))
     return out or None
 
 
