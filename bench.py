@@ -157,12 +157,11 @@ def bench_train_16k(reps: int, n_samples: int = 16384,
     """Training throughput for the 16 kHz full-band net (3084-2048x3-257) —
     the reference's native demo rate (enh_wav_example wavs are 16 kHz).
 
-    engine="auto" exercises the production resolution: the f32 resident
-    state misses the mosaic VMEM budget by ~1 MiB, so auto degrades to the
-    sr_delta variant (bf16 momentum with hardware-PRNG stochastic rounding,
-    f32 weights) and keeps residency instead of falling back to XLA
-    (VERDICT r3 item 2; measured 0.120 vs 0.207 ms/bunch on v5e).  Reports
-    which engine/kwargs were actually selected.
+    engine="auto" exercises the production resolution: the all-resident f32
+    state misses the mosaic VMEM budget, so auto degrades to the f32 hybrid
+    (hbm_spill=1: output-layer W+Delta in HBM, block-staged — exact f32
+    numerics kept), with sr_delta (bf16 momentum + SR) and XLA as the later
+    rungs (VERDICT r4 item 3).  Reports which engine/kwargs were selected.
     """
     import jax
     import jax.numpy as jnp

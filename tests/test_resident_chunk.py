@@ -505,12 +505,12 @@ def test_resident_vmem_estimator_and_auto_fallback():
     assert VMEM_BUDGET_BYTES == 128 * 2**20
 
 
-def test_auto_engine_degrades_to_sr_delta_for_16k(monkeypatch):
+def test_auto_engine_degrade_order_for_16k(monkeypatch):
     """engine="auto" on a TPU backend: f32-fitting models get the plain
-    resident kernel; the over-budget 16 kHz net degrades to sr_delta
-    (bf16 momentum, f32 weights; measured 0.120 ms/bunch vs the XLA
-    fallback's 0.207 on chip) instead of losing residency.
-    TPU_SEDNN_NO_SR_FALLBACK disables the degrade."""
+    resident kernel; the over-budget 16 kHz net degrades first to the f32
+    HYBRID (hbm_spill=1 — exact f32 numerics kept), then to sr_delta (bf16
+    momentum), then XLA.  TPU_SEDNN_NO_SPILL_FALLBACK /
+    TPU_SEDNN_NO_SR_FALLBACK skip the respective rungs."""
     import tpu_sednn.train.loop as loop_mod
     from tpu_sednn.train.loop import _auto_engine
 
@@ -519,14 +519,22 @@ def test_auto_engine_degrades_to_sr_delta_for_16k(monkeypatch):
     cfg_8k = ModelConfig(layersizes=(1548, 2048, 2048, 2048, 129))
     cfg_16k = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
     assert _auto_engine(cfg_8k, opt) == ("resident", {})
-    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"hbm_spill": 1})
     # caller pinned a state mode already -> no silent switch
     assert _auto_engine(cfg_16k, opt, {"sr_state": True}) == ("resident", {})
     assert _auto_engine(cfg_16k, opt, {"sr_delta": True}) == ("resident", {})
-    # escape hatch: over-budget models take XLA instead
+    assert _auto_engine(cfg_16k, opt, {"hbm_spill": 1}) == ("resident", {})
+    # skip the hybrid rung -> sr_delta
+    monkeypatch.setenv("TPU_SEDNN_NO_SPILL_FALLBACK", "1")
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
+    # skip both rungs -> XLA
     monkeypatch.setenv("TPU_SEDNN_NO_SR_FALLBACK", "1")
     assert _auto_engine(cfg_16k, opt) == ("xla", {})
     monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
+    monkeypatch.delenv("TPU_SEDNN_NO_SPILL_FALLBACK")
+    # a caller-pinned tile_rows rules out the hybrid (unsupported combo)
+    assert _auto_engine(cfg_16k, opt, {"tile_rows": 128}) == (
+        "resident", {"sr_delta": True})
     # something absurdly large still falls back to XLA
     cfg_huge = ModelConfig(layersizes=(8192, 8192, 8192, 8192))
     assert _auto_engine(cfg_huge, opt) == ("xla", {})
@@ -642,3 +650,137 @@ def test_dp_resident_sr_delta_matches_single_chip():
         np.testing.assert_allclose(np.asarray(st2.params["w"][l]),
                                    np.asarray(st1.params["w"][l]),
                                    rtol=2e-2, atol=2e-4)
+
+
+# ---------------- f32 hybrid residency (hbm_spill, VERDICT r4 item 3) ----------------
+
+
+def _train_pair(cfg, opt, n, seed=3, **kw):
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((n, cfg.layersizes[0])), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((n, cfg.layersizes[-1])), jnp.float32)
+    st_full = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False)(
+        init_train_state(params), x, t, jnp.int32(seed))
+    st_sp = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                      **kw)(
+        init_train_state(params), x, t, jnp.int32(seed))
+    return st_full, st_sp, (params, x, t)
+
+
+def _assert_state_close(st_a, st_b, rtol=1e-5, atol=1e-7):
+    assert int(st_a.step) == int(st_b.step)
+    for a, b in zip(jax.tree.leaves(st_a.params) + jax.tree.leaves(st_a.deltas),
+                    jax.tree.leaves(st_b.params) + jax.tree.leaves(st_b.deltas)):
+        assert a.dtype == b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+
+def test_hybrid_spill_matches_full_resident():
+    """hbm_spill=1 (output layer W+Delta in HBM, block-staged) must reproduce
+    the full-resident f32 kernel: the update rule is identical; only the
+    spilled layer's forward accumulation order can differ by fp rounding."""
+    cfg = ModelConfig(layersizes=(128, 128, 72))
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=32)
+    st_full, st_sp, _ = _train_pair(cfg, opt, 96, hbm_spill=1)
+    _assert_state_close(st_full, st_sp)
+
+
+def test_hybrid_spill_multiblock_layer():
+    """A spilled layer wider than one row block (640 rows -> 512+128 blocks)
+    exercises the blockwise forward accumulation and per-block staged
+    updates."""
+    from tpu_sednn.ops.resident_chunk import spill_layer_order
+
+    cfg = ModelConfig(layersizes=(96, 640, 64))
+    opt = OptConfig(lrate=0.3, momentum=0.5, weightcost=0.0, bunchsize=16)
+    # padded sizes (128, 640, 128): layer 1 (640x128) is the smallest W?
+    # 128*640=81920 vs 640*128=81920 — tie, later layer preferred -> spill 1
+    assert spill_layer_order([128, 640, 128])[0] == 1
+    st_full, st_sp, _ = _train_pair(cfg, opt, 64, hbm_spill=1)
+    _assert_state_close(st_full, st_sp)
+
+
+def test_hybrid_spill_two_layers_sigmoid():
+    cfg = ModelConfig(layersizes=(128, 256, 128, 64), hidden="sigmoid",
+                      output="sigmoid")
+    opt = OptConfig(lrate=0.5, momentum=0.5, weightcost=0.0, bunchsize=32)
+    st_full, st_sp, _ = _train_pair(cfg, opt, 96, hbm_spill=2)
+    _assert_state_close(st_full, st_sp)
+
+
+def test_hybrid_spill_clean_rule_and_padded_capacity():
+    """clean rule + fixed-capacity padding (dynamic n_real): padded grid
+    steps must leave the HBM-resident spilled state untouched too."""
+    cfg = ModelConfig(layersizes=(128, 128, 64))
+    opt = OptConfig(lrate=0.2, momentum=0.5, weightcost=0.0, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((96, 128)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
+    run = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    rule="clean", hbm_spill=1)
+    st_a = run(init_train_state(params), x, t, jnp.int32(5))
+    # same 3 real bunches inside a 5-bunch padded capacity
+    xp = jnp.concatenate([x, jnp.zeros((64, 128), jnp.float32)])
+    tp = jnp.concatenate([t, jnp.zeros((64, 64), jnp.float32)])
+    st_b = run(init_train_state(params), xp, tp, jnp.int32(5), n_real=3)
+    _assert_state_close(st_a, st_b, rtol=0, atol=0)
+
+
+def test_hybrid_spill_dp_matches_single_chip():
+    """DP x hbm_spill: per-device HBM spilled state + butterfly-allreduced
+    block gradients must match the single-chip hybrid kernel exactly (f32,
+    dropout off)."""
+    from tpu_sednn.ops.resident_chunk import make_dp_resident_train_chunk
+    from tpu_sednn.parallel import make_mesh, replicate
+
+    cfg = ModelConfig(layersizes=(128, 128, 64))
+    opt = OptConfig(lrate=0.2, momentum=0.7, weightcost=1e-3, bunchsize=32)
+    params = init_params(jax.random.key(0), cfg, "glorot")
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    st1 = make_resident_train_chunk(cfg, opt, interpret=True, bf16=False,
+                                    hbm_spill=1)(
+        init_train_state(params), x, t, jnp.int32(5))
+    mesh = make_mesh(n_data=2, n_model=1)
+    st2 = make_dp_resident_train_chunk(cfg, opt, mesh, interpret=True,
+                                       bf16=False, hbm_spill=1)(
+        init_train_state(replicate(params, mesh)), x, t, jnp.int32(5))
+    _assert_state_close(st1, st2, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_spill_validations():
+    cfg = ModelConfig(layersizes=(128, 128, 64))
+    opt = OptConfig(lrate=0.2, momentum=0.5, weightcost=0.0, bunchsize=32)
+    with pytest.raises(ValueError, match="f32 hybrid"):
+        make_resident_train_chunk(cfg, opt, interpret=True, hbm_spill=1,
+                                  sr_delta=True)
+    with pytest.raises(ValueError, match="f32 hybrid"):
+        make_resident_train_chunk(cfg, opt, interpret=True, hbm_spill=1,
+                                  sr_state=True)
+    with pytest.raises(ValueError, match="row-tiled"):
+        make_resident_train_chunk(cfg, opt, interpret=True, hbm_spill=1,
+                                  rule="clean", tile_rows=16)
+    with pytest.raises(ValueError, match="out of range"):
+        make_resident_train_chunk(cfg, opt, interpret=True, hbm_spill=3)
+
+
+def test_hybrid_vmem_estimate_16k():
+    """The production decision the hybrid mode exists for: 16 kHz f32 misses
+    the budget all-resident, FITS at hbm_spill=1 (spilling the output
+    layer), and the estimator accounts the staging buffers."""
+    from tpu_sednn.ops.resident_chunk import (
+        _spill_set, resident_fits_vmem, resident_vmem_bytes)
+
+    cfg16 = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
+    opt = OptConfig(lrate=1.0, momentum=0.5, weightcost=0.0, bunchsize=128)
+    assert not resident_fits_vmem(cfg16, opt)
+    assert resident_fits_vmem(cfg16, opt, hbm_spill=1)
+    assert _spill_set([3200, 2048, 2048, 2048, 384], 1) == (3,)
+    # spilling saves the spilled W+Delta minus the two staging blocks
+    full = resident_vmem_bytes(cfg16, opt)
+    sp1 = resident_vmem_bytes(cfg16, opt, hbm_spill=1)
+    assert full - sp1 == 2 * 2048 * 384 * 4 - 2 * 512 * 384 * 4

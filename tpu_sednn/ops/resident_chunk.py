@@ -61,10 +61,33 @@ VMEM_BUDGET_BYTES = 128 * 1024 * 1024
 _VMEM_HEADROOM_BYTES = 8 * 1024 * 1024
 
 
+def spill_layer_order(padded_sizes) -> list:
+    """Layer indices in the order the hybrid engine spills them to HBM:
+    smallest padded W first (least per-bunch DMA traffic), later layers
+    preferred on ties — the output layer's W is touched in the tightest
+    window (end of forward, start of backward), so its VMEM residency buys
+    the least."""
+    L = len(padded_sizes) - 1
+    return sorted(range(L),
+                  key=lambda l: (padded_sizes[l] * padded_sizes[l + 1], -l))
+
+
+def _spill_set(padded_sizes, hbm_spill: int) -> tuple:
+    return tuple(sorted(spill_layer_order(padded_sizes)[:hbm_spill]))
+
+
+def _spill_stage_shape(padded_sizes, spill) -> tuple:
+    """(rows, cols) of the W/Delta staging scratch shared by spilled layers:
+    the largest row block x the widest output dim among them."""
+    rb = max(max(b for _, b in _row_blocks(padded_sizes[l])) for l in spill)
+    return rb, max(padded_sizes[l + 1] for l in spill)
+
+
 def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
                         sr_state: bool = False,
                         tile_rows: int | None = None,
-                        sr_delta: bool = False) -> int:
+                        sr_delta: bool = False,
+                        hbm_spill: int = 0) -> int:
     """Estimated VMEM footprint of the resident megakernel's pinned state +
     double-buffered input windows (the dominant terms).  Validation datapoint
     (16 kHz 3084-2048x3-257 net): this estimate gives 123.5 MiB while the
@@ -72,13 +95,20 @@ def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
     delta is per-layer activation/grad temporaries, which is exactly what
     _VMEM_HEADROOM_BYTES (8 MiB) budgets for.  Weights+momentum are fp32;
     bf16 both when sr_state, bf16 momentum only when sr_delta.  Biases and
-    x/t windows are always fp32."""
+    x/t windows are always fp32.  hbm_spill > 0 (the f32 hybrid): the
+    spilled layers' W+Delta live in HBM and cost only the two block staging
+    buffers."""
     padded = [_round_up(s) for s in cfg.layersizes]
-    w_elems = sum(a * b for a, b in zip(padded[:-1], padded[1:]))
+    spill = _spill_set(padded, hbm_spill)
+    w_elems = sum(a * b for l, (a, b) in enumerate(zip(padded[:-1], padded[1:]))
+                  if l not in spill)
     b_elems = sum(padded[1:])
     w_bytes = 2 if sr_state else 4
     d_bytes = 2 if (sr_state or sr_delta) else 4
     state_bytes = w_elems * (w_bytes + d_bytes) + 2 * b_elems * 4
+    if spill:
+        rb, cols = _spill_stage_shape(padded, spill)
+        state_bytes += 2 * rb * cols * 4  # Wstg + Dstg (f32)
     tile = tile_rows if tile_rows is not None else opt.bunchsize
     window_bytes = 2 * tile * (padded[0] + padded[-1]) * 4  # 2 buffering levels
     return state_bytes + window_bytes
@@ -87,8 +117,10 @@ def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
 def resident_fits_vmem(cfg: ModelConfig, opt: OptConfig,
                        sr_state: bool = False,
                        tile_rows: int | None = None,
-                       sr_delta: bool = False) -> bool:
-    return (resident_vmem_bytes(cfg, opt, sr_state, tile_rows, sr_delta)
+                       sr_delta: bool = False,
+                       hbm_spill: int = 0) -> bool:
+    return (resident_vmem_bytes(cfg, opt, sr_state, tile_rows, sr_delta,
+                                hbm_spill)
             <= VMEM_BUDGET_BYTES - _VMEM_HEADROOM_BYTES)
 
 
@@ -134,11 +166,21 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                      emulate_sr: bool = False,
                      axis_name: str | None = None, n_dev: int = 1,
                      grad_n: int | None = None, dedy_full: bool = False,
-                     accum_tiles: int = 1, mask_rows: int | None = None):
+                     accum_tiles: int = 1, mask_rows: int | None = None,
+                     spill: tuple = ()):
     # ref layout: scal, seed, x, t, w[L], d[L], b[L], db[L] |
     #             w_out[L], d_out[L], b_out[L], db_out[L] |
-    #             Ws[L], Ds[L], Bs[L], DBs[L], sem
-    #             [+ DP: comm, ready_sems, send_sem, recv_sem]
+    #             Ws[L \ spill], Ds[L \ spill], Bs[L], DBs[L], sem
+    #             [+ spill: Wstg, Dstg] [+ DP: comm, ready_sems, send/recv]
+    # spill (the f32 HYBRID-residency mode, VERDICT r4 item 3): layers whose
+    # W+Delta stay in HBM — their live state is the w_out/d_out buffer
+    # (seeded from w_in/d_in at grid step (0,0); sequential grid semantics
+    # make step i's writes visible at step i+1), streamed through the shared
+    # Wstg/Dstg VMEM staging blocks per row block.  Everything stays f32 —
+    # the exact full-resident update rule with the spilled layers' VMEM cost
+    # reduced to two staging buffers, at ~4x the spilled W's bytes of HBM
+    # traffic per bunch.
+    spill = frozenset(spill)
     it = iter(refs)
     scal = next(it)
     seed = next(it)
@@ -152,11 +194,14 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     d_out = [next(it) for _ in range(L)]
     b_out = [next(it) for _ in range(L)]
     db_out = [next(it) for _ in range(L)]
-    Ws = [next(it) for _ in range(L)]
-    Ds = [next(it) for _ in range(L)]
+    Ws = [next(it) if l not in spill else None for l in range(L)]
+    Ds = [next(it) if l not in spill else None for l in range(L)]
     Bs = [next(it) for _ in range(L)]
     DBs = [next(it) for _ in range(L)]
     sem = next(it)
+    if spill:
+        Wstg = next(it)
+        Dstg = next(it)
     if n_dev > 1:
         if dropout[0] > 0.0 or dropout[1] > 0.0:
             mask_buf = next(it)  # (mask_rows, max_width) VMEM staging
@@ -230,7 +275,17 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
 
     @pl.when((i == 0) & (j == 0))
     def _load_state():
-        for src, dst in zip(w_in + d_in + b_in + db_in, Ws + Ds + Bs + DBs):
+        srcs, dsts = [], []
+        for l in range(L):
+            if l in spill:
+                # spilled state lives in the HBM output buffers for the whole
+                # chunk: seed them from the inputs once (HBM->HBM DMA)
+                srcs += [w_in[l], d_in[l]]
+                dsts += [w_out[l], d_out[l]]
+            else:
+                srcs += [w_in[l], d_in[l]]
+                dsts += [Ws[l], Ds[l]]
+        for src, dst in zip(srcs + b_in + db_in, dsts + Bs + DBs):
             cp = pltpu.make_async_copy(src, dst, sem)
             cp.start()
             cp.wait()
@@ -267,7 +322,23 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 if dropout_mode == "inverted":
                     h = h * jnp.float32(1.0 / (1.0 - omit))
             ys.append(h)
-            z = _dot(h, Ws[l][:], bf16) + Bs[l][:]
+            if l in spill:
+                # blockwise forward against the HBM-resident W, streamed
+                # through the staging buffer (the z accumulation order
+                # differs from the single-dot full-resident kernel by fp
+                # rounding only)
+                n_out = sizes[l + 1]
+                acc = None
+                for r0, rb in _row_blocks(sizes[l]):
+                    cp = pltpu.make_async_copy(
+                        w_out[l].at[r0:r0 + rb, :], Wstg.at[0:rb, 0:n_out], sem)
+                    cp.start()
+                    cp.wait()
+                    part = _dot(h[:, r0:r0 + rb], Wstg[0:rb, 0:n_out], bf16)
+                    acc = part if acc is None else acc + part
+                z = acc + Bs[l][:]
+            else:
+                z = _dot(h, Ws[l][:], bf16) + Bs[l][:]
             if l < L - 1:
                 h = jnp.maximum(z, 0.0) if hidden == "relu" else jax.nn.sigmoid(z)
                 if hidden == "sigmoid" and valid_sizes[l + 1] < sizes[l + 1]:
@@ -293,21 +364,50 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             # momentum update; the (rb, N) gradient temporary stays bounded.
             if sr_state or sr_delta:  # one PRNG stream per (bunch, layer) for SR bits
                 pltpu.prng_seed(seed[0] + i * _BUNCH_STRIDE + l * _LAYER_STRIDE + 1)
-            if dedy_full and l > 0:
+            use_dedy_full = dedy_full and l not in spill
+            if use_dedy_full and l > 0:
                 # one (bunch, M) MXU dot against the full PRE-update W —
                 # mathematically identical to the per-block parts (the N
                 # contraction is elementwise-independent of row blocking) but
                 # avoids the relayout of the (bunch, rb) concat below
                 dedy = _dot(dedx, Ws[l][:], bf16, transpose=1)
+            n_out = sizes[l + 1]
             dedy_parts = []
             for r0, rb in _row_blocks(sizes[l]):
                 r1 = r0 + rb
-                w_blk = Ws[l][r0:r1, :]
-                if l > 0 and not dedy_full:
+                if l in spill:
+                    # stage the PRE-update W and Delta blocks from HBM
+                    cp = pltpu.make_async_copy(
+                        w_out[l].at[r0:r1, :], Wstg.at[0:rb, 0:n_out], sem)
+                    cp.start()
+                    cp.wait()
+                    cp = pltpu.make_async_copy(
+                        d_out[l].at[r0:r1, :], Dstg.at[0:rb, 0:n_out], sem)
+                    cp.start()
+                    cp.wait()
+                    w_blk = Wstg[0:rb, 0:n_out]
+                else:
+                    w_blk = Ws[l][r0:r1, :]
+                if l > 0 and not use_dedy_full:
                     dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
                 g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
                 g = _allreduce(g)  # DP: sum local-slice gradients over devices
                 w32 = w_blk.astype(jnp.float32)
+                if l in spill:
+                    # f32 update in staging, written back to the HBM-resident
+                    # state (spill excludes sr/accum modes by construction)
+                    nd = m * Dstg[0:rb, 0:n_out] - (A * g + B * w32)
+                    Dstg[0:rb, 0:n_out] = nd
+                    Wstg[0:rb, 0:n_out] = w32 + nd
+                    cp = pltpu.make_async_copy(
+                        Wstg.at[0:rb, 0:n_out], w_out[l].at[r0:r1, :], sem)
+                    cp.start()
+                    cp.wait()
+                    cp = pltpu.make_async_copy(
+                        Dstg.at[0:rb, 0:n_out], d_out[l].at[r0:r1, :], sem)
+                    cp.start()
+                    cp.wait()
+                    continue
                 if accum_tiles > 1:
                     # gradient accumulation INTO the momentum buffer: tile 0
                     # applies decay + weightcost once, later tiles only add
@@ -347,7 +447,7 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 else:
                     Ds[l][r0:r1, :] = nd
                     Ws[l][r0:r1, :] = w32 + nd
-            if not dedy_full:
+            if not use_dedy_full:
                 dedy = jnp.concatenate(dedy_parts, axis=1) if l > 0 else None
 
             gb = jnp.sum(dedx, axis=0, keepdims=True)
@@ -376,7 +476,10 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
 
     @pl.when((i == jnp.maximum(n_real, 1) - 1) & (j == accum_tiles - 1))
     def _store_state():
-        for src, dst in zip(Ws + Ds + Bs + DBs, w_out + d_out + b_out + db_out):
+        # spilled layers already live in w_out/d_out — nothing to store
+        srcs = [r for l, r in enumerate(Ws + Ds) if l % L not in spill]
+        dsts = [r for l, r in enumerate(w_out + d_out) if l % L not in spill]
+        for src, dst in zip(srcs + Bs + DBs, dsts + b_out + db_out):
             cp = pltpu.make_async_copy(src, dst, sem)
             cp.start()
             cp.wait()
@@ -388,7 +491,8 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
                    sr_delta: bool = False,
                    axis_name: str | None = None, n_dev: int = 1,
                    grad_n: int | None = None, dedy_full: bool = False,
-                   accum_tiles: int = 1, mask_rows: int | None = None):
+                   accum_tiles: int = 1, mask_rows: int | None = None,
+                   spill: tuple = ()):
     L = len(ws)
     n_mega = x.shape[0] // (bunch * accum_tiles)
     kern = functools.partial(
@@ -398,7 +502,7 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         valid_sizes=tuple(valid_sizes), bf16=bf16, sr_state=sr_state,
         sr_delta=sr_delta, emulate_sr=bool(interpret),
         axis_name=axis_name, n_dev=n_dev, grad_n=grad_n, dedy_full=dedy_full,
-        accum_tiles=accum_tiles, mask_rows=mask_rows)
+        accum_tiles=accum_tiles, mask_rows=mask_rows, spill=tuple(spill))
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     at = accum_tiles
@@ -414,10 +518,19 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
     out_shape = tuple(
         jax.ShapeDtypeStruct(a.shape, a.dtype) for a in ws + ds + bs + dbs
     )
+    spill_set = frozenset(spill)
     scratch = (
-        [pltpu.VMEM(a.shape, a.dtype) for a in ws + ds + bs + dbs]
+        [pltpu.VMEM(a.shape, a.dtype)
+         for l, a in enumerate(ws) if l not in spill_set]
+        + [pltpu.VMEM(a.shape, a.dtype)
+           for l, a in enumerate(ds) if l not in spill_set]
+        + [pltpu.VMEM(a.shape, a.dtype) for a in bs + dbs]
         + [pltpu.SemaphoreType.DMA]
     )
+    if spill_set:
+        stg = _spill_stage_shape(list(sizes), spill_set)
+        scratch += [pltpu.VMEM(stg, jnp.float32),   # Wstg
+                    pltpu.VMEM(stg, jnp.float32)]   # Dstg
     if n_dev > 1:
         rb_max = max(max(rb for _, rb in _row_blocks(s)) for s in sizes[:-1])
         n_max = max(sizes[1:])
@@ -484,7 +597,8 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
                               rule: str = "parity", sr_state: bool = False,
                               dedy_full: bool = False,
                               tile_rows: int | None = None,
-                              sr_delta: bool = False):
+                              sr_delta: bool = False,
+                              hbm_spill: int = 0):
     """jit chunk trainer: whole chunk, VMEM-resident state, one pallas_call.
 
     Same contract as train.step.make_jit_train_chunk / make_pallas_train_chunk
@@ -524,6 +638,16 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     the momentum buffer and applying the weight step on the last tile — big
     update batches (clean mode) with a bounded activation footprint.  None =
     the whole bunch is one tile (the original per-bunch behavior).
+
+    hbm_spill: f32 HYBRID residency (VERDICT r4 item 3) — spill this many
+    layers' W+Delta to HBM (smallest padded W first, spill_layer_order),
+    streaming them through two shared VMEM staging blocks per bunch while
+    every other layer stays pinned.  Keeps the full f32 update rule (no SR
+    quantization) for models whose all-resident f32 state misses the mosaic
+    budget — the 16 kHz 3084-2048x3-257 net fits at hbm_spill=1 (119.0 vs
+    123.5 MiB) at the cost of ~12 MiB of spilled-state HBM traffic per
+    bunch.  Mutually exclusive with the sr modes (it's the f32 alternative)
+    and with row-tiled accumulation.
     """
     sizes = tuple(cfg.layersizes)
     padded = tuple(_round_up(s) for s in sizes)
@@ -536,6 +660,13 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
     if sr_state and sr_delta:
         raise ValueError("sr_state (bf16 weights+momentum) already implies "
                          "bf16 momentum; sr_delta is mutually exclusive")
+    if not 0 <= hbm_spill <= len(sizes) - 1:
+        raise ValueError(f"hbm_spill {hbm_spill} out of range [0, {len(sizes)-1}]")
+    if hbm_spill and (sr_state or sr_delta):
+        raise ValueError("hbm_spill is the f32 hybrid-residency mode; the "
+                         "bf16 sr modes shrink the state instead — combine "
+                         "neither (they solve the same VMEM problem)")
+    spill = _spill_set(padded, hbm_spill)
     tile = tile_rows if tile_rows is not None else bunch
     if bunch % tile or tile % 8:
         raise ValueError(f"tile_rows {tile} must divide bunchsize {bunch} "
@@ -546,6 +677,10 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
                         "bunchsize) is a clean-rule, fp32/bf16-state option; "
                         "it accumulates INTO the momentum buffer, which must "
                         "stay f32 (no sr_state/sr_delta)")
+    if accum > 1 and spill:
+        raise ValueError("hbm_spill with row-tiled accumulation would stream "
+                         "the spilled momentum from HBM once per TILE; "
+                         "unsupported — use one or the other")
 
     @jax.jit
     def run(state: TrainState, in_chunk, targ_chunk, seed,
@@ -585,7 +720,7 @@ def make_resident_train_chunk(cfg: ModelConfig, opt: OptConfig,
             output=cfg.output, dropout=dropout, dropout_mode=cfg.dropout_mode,
             valid_sizes=sizes, bf16=bf16, sr_state=sr_state, interpret=interpret,
             sr_delta=sr_delta, dedy_full=dedy_full, accum_tiles=accum,
-            grad_n=bunch if accum > 1 else None)
+            grad_n=bunch if accum > 1 else None, spill=spill)
         new = TrainState(
             params={"w": tuple(ws), "b": tuple(b.reshape(-1) for b in bs)},
             deltas={"w": tuple(ds), "b": tuple(d.reshape(-1) for d in dbs)},
@@ -603,7 +738,8 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
                                  rule: str = "parity", dedy_full: bool = False,
                                  pre_grouped: bool = False,
                                  tile_rows: int | None = None,
-                                 sr_delta: bool = False):
+                                 sr_delta: bool = False,
+                                 hbm_spill: int = 0):
     """Data-parallel VMEM-resident chunk trainer: the headline megakernel
     scaled over a 1-D ("data",) mesh WITHOUT giving up residency.
 
@@ -671,6 +807,11 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
     if accum > 1 and sr_delta:
         raise ValueError("row-tiled accumulation rides in the momentum "
                          "buffer, which must stay f32 (no sr_delta)")
+    if hbm_spill and (sr_delta or accum > 1):
+        raise ValueError("hbm_spill is the f32 hybrid mode; no sr_delta or "
+                         "row-tiled accumulation (same constraint as the "
+                         "single-chip factory)")
+    spill = _spill_set(padded, hbm_spill)
 
     def shard_fn(ws, ds, bs2, dbs2, x_local, t_local, scal, seed_arr):
         return _resident_call(
@@ -681,7 +822,7 @@ def make_dp_resident_train_chunk(cfg: ModelConfig, opt: OptConfig, mesh,
             dropout_mode=cfg.dropout_mode, valid_sizes=sizes, bf16=bf16,
             sr_state=False, interpret=interpret, sr_delta=sr_delta,
             axis_name="data", n_dev=n_dev, grad_n=bunch, dedy_full=dedy_full,
-            mask_rows=tile_g, accum_tiles=accum)
+            mask_rows=tile_g, accum_tiles=accum, spill=spill)
 
     sharded = shard_map(
         shard_fn,

@@ -44,13 +44,23 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
     input windows fit the mosaic VMEM budget (the canonical 8 kHz net uses
     ~99 MB of the 128 MB).  When the f32 state misses the budget — the
     16 kHz full-band 3084-2048x3-257 net at ~129 MiB, a real on-chip compile
-    failure — auto degrades to the sr_delta resident variant (bf16 MOMENTUM
-    storage with hardware-PRNG stochastic rounding, weights stay f32:
-    93.6 MiB, fits; measured 0.120 ms/bunch vs sr_state's 0.142 and the XLA
-    fallback's 0.207 on v5e) before falling back to XLA.  The extra kwargs
-    returned must be merged into engine_kwargs by the caller.
-    TPU_SEDNN_NO_SR_FALLBACK=1 disables the bf16 degrade (over-budget
-    models then take XLA)."""
+    failure — auto degrades in order:
+
+    1. hbm_spill=1 (f32 HYBRID residency): the smallest layer's W+Delta
+       stays in HBM, block-staged per bunch; full f32 update rule, no SR
+       quantization.  16 kHz: 119.0 MiB, fits.  Preferred first for its
+       exact f32 numerics; roofline says its ~12 MiB/bunch spilled-state
+       traffic (~0.015 ms at HBM rates) undercuts sr_delta's SR cost
+       (~0.02-0.03 ms/bunch) — order re-checked against the round-5
+       on-chip measurement (BASELINE.md).
+    2. sr_delta (bf16 MOMENTUM storage with hardware-PRNG stochastic
+       rounding, weights stay f32): 93.6 MiB; measured 0.120 ms/bunch vs
+       sr_state's 0.142 and the XLA fallback's 0.207 on v5e.
+    3. the XLA lax.scan fallback.
+
+    The extra kwargs returned must be merged into engine_kwargs by the
+    caller.  TPU_SEDNN_NO_SPILL_FALLBACK=1 skips step 1;
+    TPU_SEDNN_NO_SR_FALLBACK=1 skips step 2."""
     if jax.default_backend() != "tpu":
         return "xla", {}
     from tpu_sednn.ops.resident_chunk import resident_fits_vmem
@@ -58,13 +68,19 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
     kw = engine_kwargs or {}
     opts = dict(sr_state=kw.get("sr_state", False),
                 sr_delta=kw.get("sr_delta", False),
-                tile_rows=kw.get("tile_rows"))
+                tile_rows=kw.get("tile_rows"),
+                hbm_spill=kw.get("hbm_spill", 0))
     if resident_fits_vmem(cfg, opt, **opts):
         return "resident", {}
     import os
 
-    if (not opts["sr_state"] and not opts["sr_delta"]
-            and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
+    plain = (not opts["sr_state"] and not opts["sr_delta"]
+             and not opts["hbm_spill"])
+    if (plain and not os.environ.get("TPU_SEDNN_NO_SPILL_FALLBACK")
+            and opts["tile_rows"] is None
+            and resident_fits_vmem(cfg, opt, **{**opts, "hbm_spill": 1})):
+        return "resident", {"hbm_spill": 1}
+    if (plain and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
             and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
         return "resident", {"sr_delta": True}
     return "xla", {}
