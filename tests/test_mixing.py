@@ -5,6 +5,8 @@ import numpy as np
 import pytest
 
 from tpu_sednn.data.mixing import (
+    ALL_NOISE_KINDS,
+    EXTRA_UNSEEN_NOISE_KINDS,
     NOISE_KINDS,
     SEEN_NOISE_KINDS,
     UNSEEN_NOISE_KINDS,
@@ -20,9 +22,44 @@ SR = 8000
 
 
 def test_noise_family_partition():
-    assert set(SEEN_NOISE_KINDS) | set(UNSEEN_NOISE_KINDS) == set(NOISE_KINDS)
+    assert set(SEEN_NOISE_KINDS) | set(UNSEEN_NOISE_KINDS) == set(ALL_NOISE_KINDS)
     assert not set(SEEN_NOISE_KINDS) & set(UNSEEN_NOISE_KINDS)
-    assert len(UNSEEN_NOISE_KINDS) == 2  # held-out families
+    # the flagship training protocol is FROZEN at 7 families; the round-5
+    # widening adds eval-only families toward the reference's 15 unseen types
+    assert NOISE_KINDS == ("white", "pink", "babble", "hum", "machinegun",
+                           "factory", "hfchannel")
+    assert len(SEEN_NOISE_KINDS) == 5
+    assert len(UNSEEN_NOISE_KINDS) == 10  # held-out families
+    assert len(ALL_NOISE_KINDS) == 15
+    assert not set(EXTRA_UNSEEN_NOISE_KINDS) & set(NOISE_KINDS)
+
+
+def test_new_noise_families_shape_and_distinctness():
+    """Every widened family generates finite, normalized, non-degenerate
+    audio at both typical and tiny lengths, and the spectra are actually
+    distinct (a family that degenerates to white noise would water down the
+    generalization claim)."""
+    rng = np.random.default_rng(7)
+    centroids = {}
+    for kind in ALL_NOISE_KINDS:
+        for n in (2 * SR, 1000):
+            x = synth_noise(np.random.default_rng(3), n, kind)
+            assert x.dtype == np.float32 and len(x) == n
+            assert np.all(np.isfinite(x))
+            assert float(np.abs(x).max()) == pytest.approx(0.1, rel=1e-3)
+        x = synth_noise(rng, 4 * SR, kind)
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        f = np.fft.rfftfreq(len(x), d=1.0 / SR)
+        centroids[kind] = float(np.sum(f * spec) / np.sum(spec))
+    # spectral centroids span the band: the low-frequency families (car,
+    # traffic, wind) sit far below the high-frequency ones (rain, hfchannel)
+    assert centroids["car"] < 300 < centroids["siren"]
+    assert centroids["wind"] < 700 < centroids["rain"]
+    assert centroids["traffic"] < centroids["hfchannel"]
+    # determinism per (seed, kind)
+    a = synth_noise(np.random.default_rng(9), SR, "jet")
+    b = synth_noise(np.random.default_rng(9), SR, "jet")
+    np.testing.assert_array_equal(a, b)
 
 
 def test_synth_rir_shape_and_decay():

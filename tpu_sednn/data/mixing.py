@@ -173,18 +173,28 @@ def synth_speech(rng: np.random.Generator, n_samples: int, sr: int = 8000,
     return sig.astype(np.float32)
 
 
-#: every synthetic noise family; NoiseX-92-flavored coverage of the stationary
-#: / tonal / impulsive / band-limited axes the reference trains against
-#: (README.md:13-24: "104-115 noise types")
+#: the flagship training protocol's noise families; NoiseX-92-flavored
+#: coverage of the stationary / tonal / impulsive / band-limited axes the
+#: reference trains against (README.md:13-24: "104-115 noise types").
+#: FROZEN at 7: every tracked training artifact (flagship gates, seed-jitter
+#: runs, reverb variants) was produced with exactly this tuple — widening it
+#: would silently change the protocol under reproduction runs.
 NOISE_KINDS = ("white", "pink", "babble", "hum", "machinegun", "factory",
                "hfchannel")
 
+#: round-5 widening (VERDICT r4 item 4): eight MORE families, used only as
+#: held-out evaluation conditions — no tracked model trains on them — to
+#: push the unseen-noise protocol toward the reference's 15 unseen NoiseX-92
+#: types (/root/reference/README.md:22-24)
+EXTRA_UNSEEN_NOISE_KINDS = ("siren", "traffic", "rain", "wind", "crowd",
+                            "amtone", "jet", "car")
+ALL_NOISE_KINDS = NOISE_KINDS + EXTRA_UNSEEN_NOISE_KINDS
+
 #: the held-out families for the unseen-noise generalization protocol — the
-#: reference evaluates on 15 noise types NEVER seen in training
-#: (/root/reference/README.md:22-24); training on NOISE_KINDS minus these and
-#: evaluating on all seven yields a seen-vs-unseen gap number
-#: (recipes/multi_condition.py eval_noise_kinds)
-UNSEEN_NOISE_KINDS = ("factory", "hfchannel")
+#: reference evaluates on 15 noise types NEVER seen in training; training on
+#: SEEN_NOISE_KINDS (5) and evaluating on all 15 yields a seen-vs-unseen gap
+#: over 10 unseen families (recipes/multi_condition.py eval_noise_kinds)
+UNSEEN_NOISE_KINDS = ("factory", "hfchannel") + EXTRA_UNSEEN_NOISE_KINDS
 SEEN_NOISE_KINDS = tuple(k for k in NOISE_KINDS if k not in UNSEEN_NOISE_KINDS)
 
 
@@ -270,6 +280,82 @@ def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -
         spec = np.fft.rfft(rng.standard_normal(n_samples))
         f = np.fft.rfftfreq(n_samples)
         x = np.fft.irfft(spec * (0.1 + f / (f.max() + 1e-12)), n_samples)
+    elif kind == "siren":
+        # swept tone: slow FM between two corner frequencies + 2nd harmonic
+        lo, hi = rng.uniform(500.0, 700.0), rng.uniform(1100.0, 1500.0)
+        sweep = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.25, 0.9) * t / 8000.0
+                                   + rng.uniform(0, 2 * np.pi))
+        f_inst = lo + (hi - lo) * sweep
+        phase = 2 * np.pi * np.cumsum(f_inst) / 8000.0
+        x = np.sin(phase) + 0.3 * np.sin(2 * phase) + 0.05 * rng.standard_normal(n_samples)
+    elif kind == "traffic":
+        # brown-ish rumble + passing-vehicle swells + occasional horn tones
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.maximum(np.fft.rfftfreq(n_samples), 1.0 / n_samples)
+        x = np.fft.irfft(spec / f, n_samples)  # -6 dB/oct
+        x = x / (np.abs(x).max() + 1e-9)
+        swell = 1.0 + 0.8 * np.abs(np.sin(2 * np.pi * rng.uniform(0.1, 0.4)
+                                          * t / 8000.0 + rng.uniform(0, 6)))
+        x = x * swell
+        hlen = min(2400, n_samples)
+        for _ in range(int(rng.integers(0, 3))):  # horns
+            st = int(rng.integers(0, max(1, n_samples - hlen)))
+            fh = rng.uniform(300.0, 600.0)
+            seg = np.sin(2 * np.pi * fh * np.arange(hlen) / 8000.0) * np.hanning(hlen)
+            x[st : st + hlen] += 0.5 * seg
+    elif kind == "rain":
+        # dense Poisson droplet impacts (high-passed clicks) over a hiss bed
+        x = 0.3 * np.diff(rng.standard_normal(n_samples), prepend=0.0)
+        n_drops = max(1, int(n_samples / 8000.0 * rng.uniform(300, 800)))
+        starts = rng.integers(0, max(1, n_samples - 48), n_drops)
+        kernel = np.diff(np.hanning(48), prepend=0.0) * rng.uniform(0.8, 1.2)
+        for st in starts:
+            x[st : st + 48] += kernel[: n_samples - st] * rng.uniform(0.3, 1.5)
+    elif kind == "wind":
+        # low-passed noise under slow gust modulation (smoothed random walk)
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.fft.rfftfreq(n_samples, d=1.0 / 8000.0)
+        x = np.fft.irfft(spec / (1.0 + (f / 400.0) ** 2), n_samples)
+        gust = _smooth(np.abs(np.cumsum(rng.standard_normal(n_samples))),
+                       min(2000, n_samples))
+        x = x * (0.3 + gust / (gust.max() + 1e-9))
+    elif kind == "crowd":
+        # many distant talkers: denser than babble (20 sources), smeared by a
+        # room-ish 30 ms smoothing so no single voice dominates
+        x = sum(synth_speech(rng, n_samples) for _ in range(20)).astype(np.float64)
+        x = _smooth(x, 5) + 0.1 * rng.standard_normal(n_samples)
+    elif kind == "amtone":
+        # amplitude-modulated tone complex (rotating-machinery whine)
+        fc = rng.uniform(500.0, 2000.0)
+        fm = rng.uniform(2.0, 20.0)
+        am = 1.0 + rng.uniform(0.5, 0.95) * np.sin(2 * np.pi * fm * t / 8000.0
+                                                   + rng.uniform(0, 2 * np.pi))
+        x = am * (np.sin(2 * np.pi * fc * t / 8000.0)
+                  + 0.4 * np.sin(2 * np.pi * 1.5 * fc * t / 8000.0
+                                 + rng.uniform(0, 2 * np.pi)))
+        x = x + 0.1 * rng.standard_normal(n_samples)
+    elif kind == "jet":
+        # broadband cockpit roar: flat bed + strong mid-band resonance + a
+        # high tonal whine (buccaneer/f16 NoiseX flavor)
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.fft.rfftfreq(n_samples, d=1.0 / 8000.0)
+        fr = rng.uniform(800.0, 1600.0)
+        shape = 0.4 + 1.5 / (1.0 + ((f - fr) / 300.0) ** 2)
+        x = np.fft.irfft(spec * shape, n_samples)
+        x = x / (np.abs(x).max() + 1e-9)
+        fw = rng.uniform(2500.0, 3600.0)
+        x = x + 0.25 * np.sin(2 * np.pi * fw * t / 8000.0 + rng.uniform(0, 6))
+    elif kind == "car":
+        # car interior: steep low-pass (-12 dB/oct above ~100 Hz) + engine
+        # firing harmonics (volvo NoiseX flavor)
+        spec = np.fft.rfft(rng.standard_normal(n_samples))
+        f = np.fft.rfftfreq(n_samples, d=1.0 / 8000.0)
+        x = np.fft.irfft(spec / (1.0 + (f / 100.0) ** 2), n_samples)
+        x = x / (np.abs(x).max() + 1e-9)
+        f0 = rng.uniform(30.0, 60.0)
+        x = x + sum((0.3 / h) * np.sin(2 * np.pi * f0 * h * t / 8000.0
+                                       + rng.uniform(0, 2 * np.pi))
+                    for h in range(1, 5))
     else:
         raise ValueError(f"unknown noise kind {kind}")
     return (0.1 * x / (np.abs(x).max() + 1e-9)).astype(np.float32)

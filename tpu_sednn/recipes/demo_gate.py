@@ -52,10 +52,15 @@ def _resample(x: np.ndarray, sr: int, target: int) -> np.ndarray:
 
 def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
                         target_norm=None, gv_ref=None,
-                        demo_dir: str = DEMO_DIR, out_dir: str | None = None):
+                        demo_dir: str = DEMO_DIR, out_dir: str | None = None,
+                        enhance_fn=None):
     """-> {clip: {lsd_gain, stoi_gain, segsnr_gain, ...}} for every shipped
     before/after pair, plus a 'pass' summary.  All audio is compared at the
-    model's sample rate (the 16 kHz clips are resampled)."""
+    model's sample rate (the 16 kHz clips are resampled).
+
+    enhance_fn: optional noisy_waveform -> enhanced_waveform override (the
+    head-fusion decoder scores the gate through this); enh_cfg still sets
+    the sample rate and the metric STFT."""
     import jax.numpy as jnp
 
     from tpu_sednn.dsp import stft_logpower
@@ -130,62 +135,9 @@ def main(argv=None) -> int:
         return 1
     run_dir = argv[0]
 
-    from tpu_sednn.dsp import StftConfig
-    from tpu_sednn.enhance.decode import EnhanceConfig
-    from tpu_sednn.io.norm import load_norm
-    from tpu_sednn.io.wts import load_wts
-    from tpu_sednn.model.mlp import ModelConfig, params_from_wts
+    from tpu_sednn.recipes.artifact import load_run_dir
 
-    ws, bs = load_wts(os.path.join(run_dir, "mlp.final.wts"))
-    params = params_from_wts(ws, bs)
-    d = len(bs[-1])
-    sizes = tuple([ws[0].shape[0]] + [len(b) for b in bs])
-    # run.json (written by recipes.multi_condition) pins the decode config;
-    # without it, fall back to the canonical-lps-recipe defaults
-    manifest = {}
-    man_path = os.path.join(run_dir, "run.json")
-    if os.path.exists(man_path):
-        with open(man_path) as f:
-            manifest = json.load(f)
-    head = manifest.get("head", "lps")
-    sr = manifest.get("sample_rate", 8000 if d == 129 else 16000)
-    stft = StftConfig.for_rate(sr)
-    # recipe geometry: layersizes[0] = context*d + d (NAT appended)
-    context = manifest.get("fea_context", (sizes[0] // d) - 1)
-    nat = manifest.get("nat", sizes[0] == context * d + d)
-    dr_vis, dr_hid = manifest.get("dropout", (0.1, 0.2))
-    mcfg = ModelConfig(layersizes=sizes, dropout_vis=dr_vis, dropout_hid=dr_hid,
-                       dropout_mode="parity",
-                       output="sigmoid" if head in ("irm", "ibm", "psm") else "linear")
-    mean, inv_std = load_norm(os.path.join(run_dir, "fea.norm"), d)
-    tn = None
-    tnorm_path = os.path.join(run_dir, "targ.norm")
-    if os.path.exists(tnorm_path):
-        tn = load_norm(tnorm_path, d)
-    gv = None
-    gv_path = os.path.join(run_dir, "gv.txt")
-    if manifest:
-        gv_mode = manifest.get("gv_mode", "off")
-    else:
-        # legacy run dirs (no run.json): preserve the old behavior — the
-        # presence of gv.txt auto-enables global GV equalization (ADVICE r2:
-        # silently dropping it would change re-scored numbers)
-        gv_mode = "global" if os.path.exists(gv_path) else "off"
-        if gv_mode == "global":
-            print(f"note: no run.json in {run_dir}; gv.txt present -> "
-                  "gv_mode=global (legacy fallback)", file=sys.stderr)
-    if os.path.exists(gv_path) and gv_mode != "off":
-        gv = np.loadtxt(gv_path).astype(np.float32)
-    else:
-        gv_mode = "off"
-    ecfg = EnhanceConfig(stft=stft, fea_context=context,
-                         targ_offset=manifest.get("targ_offset",
-                                                  (context - 1) // 2),
-                         nat=nat, head=head,
-                         mask_floor=manifest.get("mask_floor", 0.0),
-                         gv_mode=gv_mode,
-                         min_gain_db=manifest.get("min_gain_db"),
-                         max_gain_db=manifest.get("max_gain_db"))
+    params, mcfg, ecfg, mean, inv_std, tn, gv = load_run_dir(run_dir)
 
     res = evaluate_demo_clips(params, mcfg, ecfg, mean, inv_std,
                               target_norm=tn, gv_ref=gv, out_dir=run_dir)
