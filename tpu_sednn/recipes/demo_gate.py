@@ -87,8 +87,12 @@ def evaluate_demo_clips(params, model_cfg, enh_cfg, mean, inv_std,
         n = min(len(noisy), len(shipped))
         noisy, shipped = noisy[:n], shipped[:n]
 
-        ours = enhance_waveform(params, model_cfg, enh_cfg, noisy, mean,
-                                inv_std, target_norm=target_norm, gv_ref=gv_ref)[:n]
+        if enhance_fn is not None:
+            ours = np.asarray(enhance_fn(noisy))[:n]
+        else:
+            ours = enhance_waveform(params, model_cfg, enh_cfg, noisy, mean,
+                                    inv_std, target_norm=target_norm,
+                                    gv_ref=gv_ref)[:n]
         if out_dir:
             write_wav(os.path.join(out_dir, f"{name}_tpu_sednn_enh.wav"), ours, sr)
 
