@@ -41,17 +41,35 @@ UTT_SECONDS = 3.0  # TIMIT-like utterance length
 FRAMES_PER_UTT = int(1 + (UTT_SECONDS * SR - 256) // 128)  # 186 @ 8 kHz
 
 
-def build_corpus(work: str, n_frames_target: int, seed: int = 0) -> tuple[str, str, str, int]:
+def _synth_block(args) -> list:
+    """Worker (multiprocessing, spawn): synthesize utterances [i0, i1) ->
+    [(clean_wav, noisy_wav)].  Deterministic per-utterance rng — block
+    partitioning does not change the corpus."""
+    i0, i1, seed, n_samp, noises, kinds, snrs = args
+    from tpu_sednn.data.mixing import mix_at_snr, synth_speech
+
+    out = []
+    for i in range(i0, i1):
+        rng = np.random.default_rng((seed << 20) + i)
+        cl = synth_speech(rng, n_samp, SR)
+        nz = mix_at_snr(cl, noises[kinds[i % len(kinds)]],
+                        snrs[i % len(snrs)], rng)
+        out.append((cl, nz))
+    return out
+
+
+def build_corpus(work: str, n_frames_target: int, seed: int = 0,
+                 fea_batch: int = 64) -> tuple[str, str, str, int]:
     """Synthesize the multi-condition corpus and pack pfiles via the
-    offline-toolchain replacement (tools/make_pfile semantics, in-memory)."""
-    import jax.numpy as jnp
+    offline-toolchain replacement (tools/make_pfile semantics, in-memory).
 
-    from tpu_sednn.data.mixing import mix_at_snr, synth_noise, synth_speech
-    from tpu_sednn.dsp import StftConfig
-    from tpu_sednn.io import compute_norm, save_norm, write_pfile
-    from tpu_sednn.ops.stft_pallas import stft_lps_pallas
-    import jax
-
+    Scale path (VERDICT r4 item 2: the reference's epoch is ~22.5 M spliced
+    samples): synthesis runs on a spawn Pool BEFORE any jax/TPU client
+    exists (fork-after-client-init is unsafe; spawn workers import only
+    numpy+mixing), and featurization is BATCHED — all utterances share one
+    length, so 64 go through one vmapped Pallas-STFT dispatch (a
+    per-utterance dispatch loop costs ~minutes/2k utts over this relay;
+    at 57k utts that would be hours)."""
     fea_pfile = os.path.join(work, "noisy.pfile")
     targ_pfile = os.path.join(work, "clean.pfile")
     norm_path = os.path.join(work, "fea.norm")
@@ -61,25 +79,65 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0) -> tuple[str, s
         print(f"[corpus] reusing {work}: {n_utts} utts")
         return fea_pfile, targ_pfile, norm_path, n_utts
 
+    from tpu_sednn.data.mixing import NOISE_KINDS as kinds
+    from tpu_sednn.data.mixing import synth_noise
+
     n_utts = max(1, n_frames_target // FRAMES_PER_UTT)
     rng = np.random.default_rng(seed)
     n_samp = int(UTT_SECONDS * SR)
-    cfg = StftConfig.for_rate(SR)
-    feat = jax.jit(lambda s: stft_lps_pallas(s, cfg))
     snrs = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
-    from tpu_sednn.data.mixing import NOISE_KINDS as kinds
-
     noises = {k: synth_noise(rng, 8 * n_samp, k) for k in kinds}
 
+    # ---- synthesis: spawn pool, blocks of utterances -------------------
+    t0 = time.time()
+    block = 512
+    jobs = [(i0, min(i0 + block, n_utts), seed, n_samp, noises, kinds, snrs)
+            for i0 in range(0, n_utts, block)]
+    wavs: list = []
+    import multiprocessing as mp
+
+    nproc = min(max(os.cpu_count() or 1, 1), 4)
+    if len(jobs) > 1 and nproc > 1:
+        with mp.get_context("spawn").Pool(nproc) as pool:
+            for done, blk in enumerate(pool.imap(_synth_block, jobs)):
+                wavs.extend(blk)
+                if (done + 1) % 20 == 0 or done + 1 == len(jobs):
+                    print(f"[corpus] synth {len(wavs)}/{n_utts} utts "
+                          f"({time.time() - t0:.0f}s)")
+    else:
+        for job in jobs:
+            wavs.extend(_synth_block(job))
+    print(f"[corpus] synthesized {n_utts} utts in {time.time() - t0:.0f}s")
+
+    # ---- featurization: batched Pallas STFT (one shape -> one compile) --
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp import StftConfig
+    from tpu_sednn.io import compute_norm, save_norm, write_pfile
+    from tpu_sednn.ops.stft_pallas import stft_lps_pallas
+
+    cfg = StftConfig.for_rate(SR)
+    feat_b = jax.jit(jax.vmap(lambda s: stft_lps_pallas(s, cfg)))
     clean_feats, noisy_feats = [], []
     t0 = time.time()
-    for i in range(n_utts):
-        cl = synth_speech(rng, n_samp, SR)
-        nz = mix_at_snr(cl, noises[kinds[i % len(kinds)]], snrs[i % len(snrs)], rng)
-        clean_feats.append(np.asarray(feat(jnp.asarray(cl))))
-        noisy_feats.append(np.asarray(feat(jnp.asarray(nz))))
-        if (i + 1) % 1000 == 0:
-            print(f"[corpus] {i + 1}/{n_utts} utts ({time.time() - t0:.0f}s)")
+    for i0 in range(0, n_utts, fea_batch):
+        blk = wavs[i0 : i0 + fea_batch]
+        stack = np.stack([w for pair in blk for w in pair])  # (2b, n_samp)
+        if len(blk) < fea_batch:  # pad the tail batch: one compile total
+            pad = np.zeros((2 * (fea_batch - len(blk)), stack.shape[1]),
+                           np.float32)
+            stack = np.concatenate([stack, pad])
+        out = np.asarray(feat_b(jnp.asarray(stack)))
+        for j in range(len(blk)):
+            clean_feats.append(out[2 * j])
+            noisy_feats.append(out[2 * j + 1])
+        wavs[i0 : i0 + fea_batch] = [None] * len(blk)  # free waveforms
+        if (i0 // fea_batch + 1) % 100 == 0:
+            print(f"[corpus] featurized {i0 + len(blk)}/{n_utts} "
+                  f"({time.time() - t0:.0f}s)")
+    del wavs
+    print(f"[corpus] featurized {n_utts} utts in {time.time() - t0:.0f}s")
     write_pfile(fea_pfile, noisy_feats)
     # pack targets as NORMALIZED clean LPS (zero-mean unit-var): the trainer
     # applies .norm only to the input features (Interface.cc:745-746), so
