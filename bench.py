@@ -671,7 +671,9 @@ def _demo_gate_summary():
                     ("irm_16k", "demo_gate_irm_16k.json"),
                     ("ibm", "demo_gate_ibm.json"),
                     ("psm_reverb", "demo_gate_psm_reverb.json"),
-                    ("psm_reverb25", "demo_gate_psm_reverb25.json")):
+                    ("psm_reverb25", "demo_gate_psm_reverb25.json"),
+                    ("16k_r5", "demo_gate_16k_r5.json"),
+                    ("fusion_16k", "demo_gate_fusion_16k.json")):
         p = os.path.join(here, "artifacts", fn)
         if not os.path.exists(p):
             continue

@@ -168,6 +168,8 @@ def main(argv=None) -> int:
                          "the LAST epoch's wall-clock is the steady-state "
                          "number (first pays this backend's per-process "
                          "remote compiles)")
+    ap.add_argument("--out", default=None,
+                    help="result JSON path (default artifacts/pfile_epoch.json)")
     args = ap.parse_args(argv)
     os.makedirs(args.work, exist_ok=True)
 
@@ -230,7 +232,7 @@ def main(argv=None) -> int:
         "audio_s_per_s": round(n_train_samples * 0.016 / warm, 1),
         "cv_mse": epochs[-1]["cv_mse"],
     }
-    path = os.path.join(REPO, "artifacts", "pfile_epoch.json")
+    path = args.out or os.path.join(REPO, "artifacts", "pfile_epoch.json")
     json.dump(out, open(path, "w"), indent=2)
     print(json.dumps(out))
     return 0
