@@ -158,10 +158,11 @@ def bench_train_16k(reps: int, n_samples: int = 16384,
     the reference's native demo rate (enh_wav_example wavs are 16 kHz).
 
     engine="auto" exercises the production resolution: the all-resident f32
-    state misses the mosaic VMEM budget, so auto degrades to the f32 hybrid
-    (hbm_spill=1: output-layer W+Delta in HBM, block-staged — exact f32
-    numerics kept), with sr_delta (bf16 momentum + SR) and XLA as the later
-    rungs (VERDICT r4 item 3).  Reports which engine/kwargs were selected.
+    state misses the mosaic VMEM budget, so auto degrades to sr_delta (bf16
+    momentum + SR; 0.122 ms/bunch — the round-5 shoot-out winner,
+    artifacts/kernel_bench_r5.json), with the f32 hybrid (hbm_spill=1,
+    0.138 ms — exact f32 numerics) and XLA (0.198 ms) as the later rungs.
+    Reports which engine/kwargs were selected.
     """
     import jax
     import jax.numpy as jnp

@@ -507,10 +507,10 @@ def test_resident_vmem_estimator_and_auto_fallback():
 
 def test_auto_engine_degrade_order_for_16k(monkeypatch):
     """engine="auto" on a TPU backend: f32-fitting models get the plain
-    resident kernel; the over-budget 16 kHz net degrades first to the f32
-    HYBRID (hbm_spill=1 — exact f32 numerics kept), then to sr_delta (bf16
-    momentum), then XLA.  TPU_SEDNN_NO_SPILL_FALLBACK /
-    TPU_SEDNN_NO_SR_FALLBACK skip the respective rungs."""
+    resident kernel; the over-budget 16 kHz net degrades first to sr_delta
+    (bf16 momentum — fastest on chip, 0.122 ms/bunch), then to the f32
+    HYBRID (hbm_spill=1 — exact f32 numerics, 0.138 ms), then XLA (0.198).
+    TPU_SEDNN_NO_SR_FALLBACK / TPU_SEDNN_NO_SPILL_FALLBACK skip rungs."""
     import tpu_sednn.train.loop as loop_mod
     from tpu_sednn.train.loop import _auto_engine
 
@@ -519,20 +519,24 @@ def test_auto_engine_degrade_order_for_16k(monkeypatch):
     cfg_8k = ModelConfig(layersizes=(1548, 2048, 2048, 2048, 129))
     cfg_16k = ModelConfig(layersizes=(3084, 2048, 2048, 2048, 257))
     assert _auto_engine(cfg_8k, opt) == ("resident", {})
-    assert _auto_engine(cfg_16k, opt) == ("resident", {"hbm_spill": 1})
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
     # caller pinned a state mode already -> no silent switch
     assert _auto_engine(cfg_16k, opt, {"sr_state": True}) == ("resident", {})
     assert _auto_engine(cfg_16k, opt, {"sr_delta": True}) == ("resident", {})
     assert _auto_engine(cfg_16k, opt, {"hbm_spill": 1}) == ("resident", {})
-    # skip the hybrid rung -> sr_delta
-    monkeypatch.setenv("TPU_SEDNN_NO_SPILL_FALLBACK", "1")
-    assert _auto_engine(cfg_16k, opt) == ("resident", {"sr_delta": True})
-    # skip both rungs -> XLA
+    # skip the sr rung -> the f32 hybrid
     monkeypatch.setenv("TPU_SEDNN_NO_SR_FALLBACK", "1")
+    assert _auto_engine(cfg_16k, opt) == ("resident", {"hbm_spill": 1})
+    # skip both rungs -> XLA
+    monkeypatch.setenv("TPU_SEDNN_NO_SPILL_FALLBACK", "1")
     assert _auto_engine(cfg_16k, opt) == ("xla", {})
     monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
     monkeypatch.delenv("TPU_SEDNN_NO_SPILL_FALLBACK")
-    # a caller-pinned tile_rows rules out the hybrid (unsupported combo)
+    # a caller-pinned tile_rows rules out the hybrid rung (unsupported
+    # combo) but not sr_delta
+    monkeypatch.setenv("TPU_SEDNN_NO_SR_FALLBACK", "1")
+    assert _auto_engine(cfg_16k, opt, {"tile_rows": 128}) == ("xla", {})
+    monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
     assert _auto_engine(cfg_16k, opt, {"tile_rows": 128}) == (
         "resident", {"sr_delta": True})
     # something absurdly large still falls back to XLA

@@ -44,23 +44,24 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
     input windows fit the mosaic VMEM budget (the canonical 8 kHz net uses
     ~99 MB of the 128 MB).  When the f32 state misses the budget — the
     16 kHz full-band 3084-2048x3-257 net at ~129 MiB, a real on-chip compile
-    failure — auto degrades in order:
+    failure — auto degrades in order (round-5 on-chip shoot-out,
+    artifacts/kernel_bench_r5.json):
 
-    1. hbm_spill=1 (f32 HYBRID residency): the smallest layer's W+Delta
-       stays in HBM, block-staged per bunch; full f32 update rule, no SR
-       quantization.  16 kHz: 119.0 MiB, fits.  Preferred first for its
-       exact f32 numerics; roofline says its ~12 MiB/bunch spilled-state
-       traffic (~0.015 ms at HBM rates) undercuts sr_delta's SR cost
-       (~0.02-0.03 ms/bunch) — order re-checked against the round-5
-       on-chip measurement (BASELINE.md).
-    2. sr_delta (bf16 MOMENTUM storage with hardware-PRNG stochastic
-       rounding, weights stay f32): 93.6 MiB; measured 0.120 ms/bunch vs
-       sr_state's 0.142 and the XLA fallback's 0.207 on v5e.
-    3. the XLA lax.scan fallback.
+    1. sr_delta (bf16 MOMENTUM storage with hardware-PRNG stochastic
+       rounding, weights stay f32): 93.6 MiB; measured 0.122 ms/bunch —
+       fastest, and quality-certified against an XLA-f32 control at
+       flagship scale (CV within 0.08 %, round 4).
+    2. hbm_spill=1 (f32 HYBRID residency): the smallest layer's W+Delta
+       stays in HBM, block-staged per bunch; the exact f32 update rule, no
+       SR quantization.  16 kHz: 119.0 MiB, fits; measured 0.138 ms/bunch
+       warm — 13 % behind sr_delta (the ~20 serialized staging-DMA
+       latencies per bunch) but 1.44x the XLA fallback, so it is the rung
+       for callers who need f32-exact state over peak speed.
+    3. the XLA lax.scan fallback (0.198 ms/bunch).
 
     The extra kwargs returned must be merged into engine_kwargs by the
-    caller.  TPU_SEDNN_NO_SPILL_FALLBACK=1 skips step 1;
-    TPU_SEDNN_NO_SR_FALLBACK=1 skips step 2."""
+    caller.  TPU_SEDNN_NO_SR_FALLBACK=1 skips step 1;
+    TPU_SEDNN_NO_SPILL_FALLBACK=1 skips step 2."""
     if jax.default_backend() != "tpu":
         return "xla", {}
     from tpu_sednn.ops.resident_chunk import resident_fits_vmem
@@ -76,13 +77,13 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
 
     plain = (not opts["sr_state"] and not opts["sr_delta"]
              and not opts["hbm_spill"])
+    if (plain and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
+            and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
+        return "resident", {"sr_delta": True}
     if (plain and not os.environ.get("TPU_SEDNN_NO_SPILL_FALLBACK")
             and opts["tile_rows"] is None
             and resident_fits_vmem(cfg, opt, **{**opts, "hbm_spill": 1})):
         return "resident", {"hbm_spill": 1}
-    if (plain and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
-            and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
-        return "resident", {"sr_delta": True}
     return "xla", {}
 
 
