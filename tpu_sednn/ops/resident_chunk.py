@@ -76,10 +76,16 @@ def _spill_set(padded_sizes, hbm_spill: int) -> tuple:
     return tuple(sorted(spill_layer_order(padded_sizes)[:hbm_spill]))
 
 
+SPILL_BLOCK = 256  # spilled-layer row-block (4 ping-pong slots = 2x512 bytes)
+
+
 def _spill_stage_shape(padded_sizes, spill) -> tuple:
-    """(rows, cols) of the W/Delta staging scratch shared by spilled layers:
-    the largest row block x the widest output dim among them."""
-    rb = max(max(b for _, b in _row_blocks(padded_sizes[l])) for l in spill)
+    """(rows, cols) of ONE W/Delta staging slot shared by spilled layers:
+    the largest spilled row block x the widest output dim among them.  Four
+    slots total (W x2 + Delta x2, double-buffered prefetch) — same bytes as
+    the two full-width slots a serial scheme would need."""
+    rb = max(max(b for _, b in _row_blocks(padded_sizes[l], SPILL_BLOCK))
+             for l in spill)
     return rb, max(padded_sizes[l + 1] for l in spill)
 
 
@@ -108,7 +114,7 @@ def resident_vmem_bytes(cfg: ModelConfig, opt: OptConfig,
     state_bytes = w_elems * (w_bytes + d_bytes) + 2 * b_elems * 4
     if spill:
         rb, cols = _spill_stage_shape(padded, spill)
-        state_bytes += 2 * rb * cols * 4  # Wstg + Dstg (f32)
+        state_bytes += 4 * rb * cols * 4  # (Wstg + Dstg) x 2 slots (f32)
     tile = tile_rows if tile_rows is not None else opt.bunchsize
     window_bytes = 2 * tile * (padded[0] + padded[-1]) * 4  # 2 buffering levels
     return state_bytes + window_bytes
@@ -124,16 +130,17 @@ def resident_fits_vmem(cfg: ModelConfig, opt: OptConfig,
             <= VMEM_BUDGET_BYTES - _VMEM_HEADROOM_BYTES)
 
 
-def _row_blocks(dim: int):
+def _row_blocks(dim: int, max_block: int = 512):
     """Row-tiles (offset, size) for the in-place weight update: greedy large
     blocks bound the (rb, N) gradient temporary, keep slices sublane-aligned,
     and minimize the dot count for non-power-of-two dims (1664 -> 512x3+128
-    instead of 13x128)."""
+    instead of 13x128).  max_block=256 is used for HBM-spilled layers under
+    double-buffered prefetch (4 staging slots must fit the VMEM estimate)."""
     if dim % 128:
         raise ValueError(f"layer size {dim} is not 128-aligned")
     spans, off = [], 0
     while off < dim:
-        size = next(c for c in (512, 256, 128) if c <= dim - off)
+        size = next(c for c in (512, 256, 128) if c <= min(max_block, dim - off))
         spans.append((off, size))
         off += size
     return spans
@@ -200,8 +207,9 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
     DBs = [next(it) for _ in range(L)]
     sem = next(it)
     if spill:
-        Wstg = next(it)
+        Wstg = next(it)        # (2, rb, n) ping-pong staging slots
         Dstg = next(it)
+        spill_sems = next(it)  # DMA x8: load W/D + store W/D, per slot
     if n_dev > 1:
         if dropout[0] > 0.0 or dropout[1] > 0.0:
             mask_buf = next(it)  # (mask_rows, max_width) VMEM staging
@@ -324,17 +332,31 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
             ys.append(h)
             if l in spill:
                 # blockwise forward against the HBM-resident W, streamed
-                # through the staging buffer (the z accumulation order
+                # through the 2-slot staging buffer with the NEXT block's
+                # load issued before the current block's dot — the DMA
+                # latency hides behind the MXU (the z accumulation order
                 # differs from the single-dot full-resident kernel by fp
                 # rounding only)
                 n_out = sizes[l + 1]
-                acc = None
-                for r0, rb in _row_blocks(sizes[l]):
+                blocks = _row_blocks(sizes[l], SPILL_BLOCK)
+
+                def _load_w(bi):
+                    r0, rb = blocks[bi]
                     cp = pltpu.make_async_copy(
-                        w_out[l].at[r0:r0 + rb, :], Wstg.at[0:rb, 0:n_out], sem)
+                        w_out[l].at[r0:r0 + rb, :],
+                        Wstg.at[bi % 2, 0:rb, 0:n_out],
+                        spill_sems.at[bi % 2])
                     cp.start()
-                    cp.wait()
-                    part = _dot(h[:, r0:r0 + rb], Wstg[0:rb, 0:n_out], bf16)
+                    return cp
+
+                acc = None
+                pend = [_load_w(0), None]
+                for bi, (r0, rb) in enumerate(blocks):
+                    pend[bi % 2].wait()
+                    if bi + 1 < len(blocks):
+                        pend[(bi + 1) % 2] = _load_w(bi + 1)
+                    part = _dot(h[:, r0:r0 + rb],
+                                Wstg[bi % 2, 0:rb, 0:n_out], bf16)
                     acc = part if acc is None else acc + part
                 z = acc + Bs[l][:]
             else:
@@ -373,41 +395,74 @@ def _resident_kernel(*refs, L: int, sizes: Sequence[int], bunch: int,
                 dedy = _dot(dedx, Ws[l][:], bf16, transpose=1)
             n_out = sizes[l + 1]
             dedy_parts = []
-            for r0, rb in _row_blocks(sizes[l]):
+            if l in spill:
+                # HBM-spilled layer: per-block staged load -> f32 update ->
+                # async write-back, with the NEXT block's W/Delta loads
+                # prefetched into the other slot before this block's dots —
+                # the exposed DMA latency shrinks to ~2 waits per pass
+                # (the serial start/wait version measured 0.79 vs 0.14
+                # ms/bunch at 16 kHz).  Disjoint row blocks make prefetching
+                # ahead of the in-place update safe; a load may only reuse a
+                # slot after that slot's write-back drained (store_pend).
+                blocks = _row_blocks(sizes[l], SPILL_BLOCK)
+
+                def _load_wd(bi):
+                    r0b, rbb = blocks[bi]
+                    s_ = bi % 2
+                    cw = pltpu.make_async_copy(
+                        w_out[l].at[r0b:r0b + rbb, :],
+                        Wstg.at[s_, 0:rbb, 0:n_out], spill_sems.at[s_])
+                    cd = pltpu.make_async_copy(
+                        d_out[l].at[r0b:r0b + rbb, :],
+                        Dstg.at[s_, 0:rbb, 0:n_out], spill_sems.at[2 + s_])
+                    cw.start()
+                    cd.start()
+                    return cw, cd
+
+                store_pend = [None, None]
+                load_pend = [_load_wd(0), None]
+                for bi, (r0, rb) in enumerate(blocks):
+                    s = bi % 2
+                    for c in load_pend[s]:
+                        c.wait()
+                    if bi + 1 < len(blocks):
+                        o = (bi + 1) % 2
+                        if store_pend[o] is not None:
+                            for c in store_pend[o]:
+                                c.wait()
+                            store_pend[o] = None
+                        load_pend[o] = _load_wd(bi + 1)
+                    w_blk = Wstg[s, 0:rb, 0:n_out]
+                    if l > 0:
+                        dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
+                    g = _dot(ys[l][:, r0:r0 + rb], dedx, bf16, transpose=2)
+                    g = _allreduce(g)
+                    w32 = w_blk.astype(jnp.float32)
+                    nd = m * Dstg[s, 0:rb, 0:n_out] - (A * g + B * w32)
+                    Dstg[s, 0:rb, 0:n_out] = nd
+                    Wstg[s, 0:rb, 0:n_out] = w32 + nd
+                    sw = pltpu.make_async_copy(
+                        Wstg.at[s, 0:rb, 0:n_out], w_out[l].at[r0:r0 + rb, :],
+                        spill_sems.at[4 + s])
+                    sd = pltpu.make_async_copy(
+                        Dstg.at[s, 0:rb, 0:n_out], d_out[l].at[r0:r0 + rb, :],
+                        spill_sems.at[6 + s])
+                    sw.start()
+                    sd.start()
+                    store_pend[s] = (sw, sd)
+                # drain write-backs: the next bunch's forward re-reads w_out
+                for p in store_pend:
+                    if p is not None:
+                        for c in p:
+                            c.wait()
+            for r0, rb in ([] if l in spill else _row_blocks(sizes[l])):
                 r1 = r0 + rb
-                if l in spill:
-                    # stage the PRE-update W and Delta blocks from HBM
-                    cp = pltpu.make_async_copy(
-                        w_out[l].at[r0:r1, :], Wstg.at[0:rb, 0:n_out], sem)
-                    cp.start()
-                    cp.wait()
-                    cp = pltpu.make_async_copy(
-                        d_out[l].at[r0:r1, :], Dstg.at[0:rb, 0:n_out], sem)
-                    cp.start()
-                    cp.wait()
-                    w_blk = Wstg[0:rb, 0:n_out]
-                else:
-                    w_blk = Ws[l][r0:r1, :]
+                w_blk = Ws[l][r0:r1, :]
                 if l > 0 and not use_dedy_full:
                     dedy_parts.append(_dot(dedx, w_blk, bf16, transpose=1))
                 g = _dot(ys[l][:, r0:r1], dedx, bf16, transpose=2)  # (rb, N)
                 g = _allreduce(g)  # DP: sum local-slice gradients over devices
                 w32 = w_blk.astype(jnp.float32)
-                if l in spill:
-                    # f32 update in staging, written back to the HBM-resident
-                    # state (spill excludes sr/accum modes by construction)
-                    nd = m * Dstg[0:rb, 0:n_out] - (A * g + B * w32)
-                    Dstg[0:rb, 0:n_out] = nd
-                    Wstg[0:rb, 0:n_out] = w32 + nd
-                    cp = pltpu.make_async_copy(
-                        Wstg.at[0:rb, 0:n_out], w_out[l].at[r0:r1, :], sem)
-                    cp.start()
-                    cp.wait()
-                    cp = pltpu.make_async_copy(
-                        Dstg.at[0:rb, 0:n_out], d_out[l].at[r0:r1, :], sem)
-                    cp.start()
-                    cp.wait()
-                    continue
                 if accum_tiles > 1:
                     # gradient accumulation INTO the momentum buffer: tile 0
                     # applies decay + weightcost once, later tiles only add
@@ -528,9 +583,10 @@ def _resident_call(x, t, ws, ds, bs, dbs, scal, seed, *, sizes, bunch: int,
         + [pltpu.SemaphoreType.DMA]
     )
     if spill_set:
-        stg = _spill_stage_shape(list(sizes), spill_set)
-        scratch += [pltpu.VMEM(stg, jnp.float32),   # Wstg
-                    pltpu.VMEM(stg, jnp.float32)]   # Dstg
+        stg = (2,) + _spill_stage_shape(list(sizes), spill_set)
+        scratch += [pltpu.VMEM(stg, jnp.float32),       # Wstg (2 slots)
+                    pltpu.VMEM(stg, jnp.float32),       # Dstg (2 slots)
+                    pltpu.SemaphoreType.DMA((8,))]      # load/store W/D x slot
     if n_dev > 1:
         rb_max = max(max(rb for _, rb in _row_blocks(s)) for s in sizes[:-1])
         n_max = max(sizes[1:])
