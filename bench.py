@@ -467,7 +467,8 @@ def validate_dp_dropout() -> dict:
 # optional keys — least important first — until the line fits.
 MAX_LINE_CHARS = 1800
 _DROP_ORDER = (
-    "noise_generalization", "train16k_engine_kwargs", "demo_gate",
+    "noise_generalization", "train16k_hybrid_step_ms",
+    "train16k_engine_kwargs", "demo_gate",
     "stream_step_ms_block1", "stream_latency_ms_block1", "stream_rtf_block1",
     "decode_int8_audio_s_per_s", "decode_irm_audio_s_per_s",
     "speed_of_light_step_ms", "megabatch4096_audio_s_per_s",
@@ -523,8 +524,11 @@ def main():
     # one tile)
     mega = bench_mode("clean", n_samples, reps, bunch=4096,
                       res_kwargs={"tile_rows": 128})
-    # 16 kHz training through the production auto-engine (resident sr_state)
+    # 16 kHz training through the production auto-engine (resident sr_delta)
     train16k = bench_train_16k(reps=reps)
+    # the f32-exact hybrid rung (hbm_spill=1), tracked beside the auto pick
+    train16k_hybrid = bench_train_16k(reps=reps, engine="resident",
+                                      engine_kwargs={"hbm_spill": 1})
     # on-chip streaming decode (device-state step; scan-amortized + 1-step)
     stream8 = bench_stream(block_frames=8)
     stream1 = bench_stream(block_frames=1, n_blocks=512)
@@ -557,7 +561,8 @@ def main():
         decode_16k=decode_16k, decode_irm=decode_irm, decode_int8=decode_int8,
         dropout_check=dropout_check, dp_dropout=dp_dropout,
         gate_detail=(gate_detail := _demo_gate_summary()),
-        gen_detail=(gen_detail := _unseen_noise_summary()))
+        gen_detail=(gen_detail := _unseen_noise_summary()),
+        train16k_hybrid=train16k_hybrid)
     # Full detail (per-gate rows, mtimes, dropout sub-checks, seen/unseen/gap
     # tables) goes to an artifact next to the compact line — the line itself
     # must stay inside the driver's 2000-char stdout capture window.
@@ -577,7 +582,8 @@ def main():
 
 def build_payload(*, parity, clean, xla_parity, mega, train16k, stream8,
                   stream1, decode, decode_16k, decode_irm, decode_int8,
-                  dropout_check, dp_dropout, gate_detail, gen_detail) -> dict:
+                  dropout_check, dp_dropout, gate_detail, gen_detail,
+                  train16k_hybrid=None) -> dict:
     """The exact dict main() emits — factored out so tests can assert the
     rendered line parses and fits the driver's capture window without a TPU
     (tests/test_bench_line.py, VERDICT r4 item 1)."""
@@ -604,6 +610,8 @@ def build_payload(*, parity, clean, xla_parity, mega, train16k, stream8,
         "train16k_step_ms": round(train16k["step_ms"], 3),
         "train16k_engine": train16k["engine"],
         "train16k_engine_kwargs": train16k["engine_kwargs"],
+        "train16k_hybrid_step_ms": (round(train16k_hybrid["step_ms"], 3)
+                                    if train16k_hybrid else None),
         "stream_rtf_block8": round(stream8["rtf"], 5),
         "stream_step_ms_block8": round(stream8["step_ms"], 2),
         "stream_latency_ms_block8": round(stream8["algorithmic_latency_ms"], 1),

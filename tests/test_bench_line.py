@@ -69,7 +69,8 @@ def _worst_case_payload():
         stream1=_fake_stream(), decode=_fake_decode(),
         decode_16k=_fake_decode(), decode_irm=_fake_decode(),
         decode_int8=_fake_decode(), dropout_check=dropout, dp_dropout=dp,
-        gate_detail=gate_detail, gen_detail=gen_detail)
+        gate_detail=gate_detail, gen_detail=gen_detail,
+        train16k_hybrid=_fake_mode())
 
 
 def test_worst_case_line_fits_and_parses():
