@@ -320,9 +320,11 @@ def test_demo_gate_psm_reverb25_tracked_thresholds():
     assert res["test3"]["stoi_gain"] >= 0.01  # real-world robustness claim
 
 
-# Flagship seed-jitter record (round 4): seed-1 rerun of the flagship
-# protocol must stay within measured run-to-run jitter of seed 0 and pass
-# the same quality bars — flagship quality is recipe, not seed luck.
+# Flagship seed-jitter record (round 5: n=3 seeds): seed-1/2 reruns of the
+# flagship protocol must stay within measured run-to-run jitter of seed 0
+# and pass the same quality bars — flagship quality is recipe, not seed
+# luck.  Measured max |delta| vs seed 0 over both extra seeds: 0.87 dB LSD,
+# 0.013 STOI (artifacts/flagship_seed_jitter.json).
 ART_JITTER = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                           "flagship_seed_jitter.json")
 
@@ -331,9 +333,58 @@ def test_flagship_seed_jitter_tracked():
     if not os.path.exists(ART_JITTER):
         pytest.skip("artifacts/flagship_seed_jitter.json not yet produced")
     d = json.load(open(ART_JITTER))
-    assert d["max_abs_delta"]["lsd_gain"] <= 1.0
-    assert d["max_abs_delta"]["stoi_gain"] <= 0.02
+    assert d["max_abs_delta_vs_seed0"]["lsd_gain"] <= 1.2
+    assert d["max_abs_delta_vs_seed0"]["stoi_gain"] <= 0.02
+    assert all(d["all_pass"].values())
     for clip, g in d["gate"].items():
-        assert g["seed1"]["lsd_gain"] >= 4.0, clip
-        assert g["seed1"]["stoi_gain"] >= 0.0, clip
-        assert g["seed1"]["segsnr_gain"] >= 0.0, clip
+        for tag in ("seed1", "seed2"):
+            assert g[tag]["lsd_gain"] >= 4.0, (clip, tag)
+            assert g[tag]["stoi_gain"] >= 0.0, (clip, tag)
+            assert g[tag]["segsnr_gain"] >= 0.0, (clip, tag)
+
+
+# Round-5 reverb-0.25 confirmation (VERDICT r4 item 6): seed-1 rerun
+# reproduces the dose-response (all proxies positive, gate pass, >=2x dry
+# test3 STOI) but misses the pre-registered flip bar (within 0.5 dB LSD of
+# dry on EVERY clip) by 0.65 dB on test1 -> dry stays flagship, reverb25
+# stays the reverberant-conditions deployment recipe.
+ART_REVERB_CONFIRM = os.path.join(os.path.dirname(__file__), "..",
+                                  "artifacts", "reverb25_confirm.json")
+
+
+def test_reverb25_confirmation_tracked():
+    if not os.path.exists(ART_REVERB_CONFIRM):
+        pytest.skip("artifacts/reverb25_confirm.json not yet produced")
+    d = json.load(open(ART_REVERB_CONFIRM))
+    c = d["criteria"]
+    assert c["all_proxies_positive"] and c["gate_pass"]
+    assert c["test3_stoi_at_least_2x_dry"]
+    # the recorded decision must match the criteria outcome (no silent flip)
+    assert d["confirmed"] == all(c.values())
+    for clip, g in d["gate"].items():
+        assert g["rv25_seed1"]["lsd_gain"] >= 4.0, clip
+
+
+# Round-5 16 kHz head fusion (VERDICT r4 item 5): the convex blend must
+# dominate BOTH single models on held-out LSD at the swept weight, and the
+# fused demo gate must pass; the tracked 16 kHz slot stays PSM because the
+# fusion does not clear the proxy-gate flip bar (documented negative,
+# BASELINE.md r5).
+ART_FUSION = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                          "fusion_sweep_16k.json")
+
+
+def test_fusion_sweep_tracked():
+    if not os.path.exists(ART_FUSION):
+        pytest.skip("artifacts/fusion_sweep_16k.json not yet produced")
+    d = json.load(open(ART_FUSION))
+    rows = {r["alpha"]: r for r in d["table"]}
+    assert 0.0 in rows and 1.0 in rows
+    best = d["best"]
+    assert 0.0 < best["alpha"] < 1.0  # an interior blend wins
+    assert best["score"] >= rows[0.0]["score"] + 0.5
+    assert best["score"] >= rows[1.0]["score"] + 0.5
+    assert best["lsd_gain"] >= max(rows[0.0]["lsd_gain"],
+                                   rows[1.0]["lsd_gain"])
+    gate = d.get("gate") or {}
+    assert gate.get("pass") is True
