@@ -388,3 +388,29 @@ def test_fusion_sweep_tracked():
                                    rows[1.0]["lsd_gain"])
     gate = d.get("gate") or {}
     assert gate.get("pass") is True
+
+
+# Round-5 16 kHz unseen-family robustness (eval-only on the tracked PSM XL;
+# benchmarks/run_unseen_noise_16k.py).  Thresholds encode the measured
+# finding: every unseen family positive on STOI/SegSNR/PESQ; LSD positive on
+# all but the low-frequency-dominated families (traffic/car), where heavy
+# rumble suppression trades spectral fidelity for the strongest perceptual
+# gains of the set.
+ART_UNSEEN_16K = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                              "unseen_noise_16k.json")
+
+
+def test_unseen_noise_16k_tracked():
+    if not os.path.exists(ART_UNSEEN_16K):
+        pytest.skip("artifacts/unseen_noise_16k.json not yet produced")
+    gen = json.load(open(ART_UNSEEN_16K))["noise_generalization"]
+    unseen = {k: v for k, v in gen["per_kind"].items() if not v["seen"]}
+    assert len(unseen) >= 8
+    for kind, v in unseen.items():
+        assert v["stoi_gain"] >= 0.0, kind
+        assert v["segsnr_gain"] >= 0.0, kind
+        assert v["pesq_gain"] >= 0.0, kind
+    lsd_positive = [k for k, v in unseen.items() if v["lsd_gain"] > 0.0]
+    assert len(lsd_positive) >= 6
+    assert gen["unseen"]["lsd_gain"] >= 4.0
+    assert gen["unseen"]["stoi_gain"] >= 0.03
