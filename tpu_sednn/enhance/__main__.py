@@ -7,8 +7,11 @@ Matlab for it).  Here it is first-class:
         [--context 11] [--targ-offset 5] [--head lps|irm|ibm|psm] [--sr 8000]
         [--targ-norm targ.norm] [--mask-floor 0.05] [--no-nat]
         [--quant int8] [--stream BLOCK_FRAMES]
+        [--fuse-with RUN_DIR --fuse-alpha 0.65]
 
-Each input produces out_dir/<name>_enh.wav.
+Each input produces out_dir/<name>_enh.wav.  --fuse-with blends the primary
+model's enhanced log-spectra with a second trained run dir's (head fusion,
+enhance/fusion.py; alpha = weight on the primary).
 """
 
 from __future__ import annotations
@@ -66,7 +69,18 @@ def main(argv=None) -> int:
                          "as device arrays inside one jitted step "
                          "(DeviceStreamingEnhancer — the on-chip serving "
                          "path; requires targ_offset < context-1)")
+    ap.add_argument("--fuse-with", default=None, metavar="RUN_DIR",
+                    help="head-fusion decode: blend this trained run dir's "
+                         "enhanced log-spectra with the primary model's "
+                         "(enhance.fusion; same sample rate required)")
+    ap.add_argument("--fuse-alpha", type=float, default=0.65,
+                    help="weight on the PRIMARY model in the fusion blend "
+                         "(1-alpha on --fuse-with; default = the 16 kHz "
+                         "held-out sweep winner)")
     args = ap.parse_args(argv)
+    if args.fuse_with and (args.stream > 0 or args.quant != "none"):
+        raise SystemExit("--fuse-with is an offline f32 decode "
+                         "(no --stream/--quant)")
 
     from tpu_sednn.dsp import StftConfig
     from tpu_sednn.enhance import EnhanceConfig, enhance_waveform
@@ -139,6 +153,19 @@ def main(argv=None) -> int:
                                        target_norm=target_norm, gv_ref=gv_ref,
                                        quant="int8")
             y = np.asarray(dec(x[None, :])[0])
+        elif args.fuse_with:
+            from tpu_sednn.enhance.fusion import enhance_waveform_fused
+            from tpu_sednn.recipes.artifact import load_run_dir
+
+            model_b = load_run_dir(args.fuse_with)
+            if model_b[2].stft.sample_rate != sr:
+                raise SystemExit(
+                    f"--fuse-with model is {model_b[2].stft.sample_rate} Hz, "
+                    f"input is {sr} Hz")
+            model_a = (params, mcfg, enh_cfg, mean, inv_std, target_norm,
+                       gv_ref)
+            a = args.fuse_alpha
+            y = enhance_waveform_fused((model_a, model_b), x, (a, 1.0 - a))
         else:
             y = enhance_waveform(params, mcfg, enh_cfg, x, mean, inv_std,
                                  target_norm=target_norm, gv_ref=gv_ref)
