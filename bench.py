@@ -341,6 +341,51 @@ def bench_decode(seconds: float, reps: int, batch: int = 64,
     }
 
 
+def bench_decode_fused(seconds: float, reps: int, batch: int = 64,
+                       sample_rate: int = 16000) -> dict:
+    """Serving cost of HEAD FUSION (enhance/fusion.py): two models (PSM
+    mask head + lps regression, the production pairing) blended at the
+    swept alpha inside ONE jitted batched program with shared STFT work.
+    Roofline expectation: ~2x a single decode's model FLOPs, < 2x wall
+    (the STFT/ISTFT/overlap-add is shared)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sednn.dsp.stft import StftConfig
+    from tpu_sednn.enhance.decode import EnhanceConfig
+    from tpu_sednn.enhance.fusion import make_fused_serving_decoder
+    from tpu_sednn.model import ModelConfig, init_params
+
+    cfg_stft = StftConfig.for_rate(sample_rate)
+    d = cfg_stft.n_bins
+    layers = (d * 11 + d, 2048, 2048, 2048, d)
+    mean = np.zeros((d,), np.float32)
+    istd = np.ones((d,), np.float32)
+    models = []
+    for seed, head in ((0, "psm"), (1, "lps")):
+        mask = head != "lps"
+        mcfg = ModelConfig(layersizes=layers, dropout_vis=0.1, dropout_hid=0.2,
+                           dropout_mode="parity",
+                           output="sigmoid" if mask else "linear")
+        ecfg = EnhanceConfig(stft=cfg_stft, fea_context=11, targ_offset=5,
+                             nat=True, head=head,
+                             mask_floor=0.05 if mask else 0.0)
+        params = init_params(jax.random.key(seed), mcfg, scheme="glorot")
+        models.append((params, mcfg, ecfg, mean, istd, None, None))
+    decode = make_fused_serving_decoder(models, (0.65, 0.35))
+    n = int(seconds * cfg_stft.sample_rate)
+    wavs = jax.random.normal(jax.random.key(2), (batch, n), jnp.float32)
+    out = decode(wavs)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = decode(wavs)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    audio = reps * batch * seconds
+    return {"audio_s_per_s": audio / dt, "rtf": dt / audio, "batch": batch}
+
+
 def validate_dropout(n_samples: int = 4096) -> dict:
     """TPU-executable validation of the resident kernel's hw-PRNG dropout
     (VERDICT r1 item 7) — result lands in the bench JSON line.
@@ -470,6 +515,7 @@ _DROP_ORDER = (
     "noise_generalization", "train16k_hybrid_step_ms",
     "train16k_engine_kwargs", "demo_gate",
     "stream_step_ms_block1", "stream_latency_ms_block1", "stream_rtf_block1",
+    "decode_fused16k_audio_s_per_s",
     "decode_int8_audio_s_per_s", "decode_irm_audio_s_per_s",
     "speed_of_light_step_ms", "megabatch4096_audio_s_per_s",
 )
@@ -539,6 +585,8 @@ def main():
     # throughput win vs f32 on this chip (decode is not matmul-bound,
     # BASELINE.md); tracked for regressions, accuracy gated in tests/test_quant.py
     decode_int8 = bench_decode(seconds=64.0, reps=reps, quant="int8")
+    # fused 16 kHz serving (PSM x lps blend in one jitted program)
+    decode_fused = bench_decode_fused(seconds=32.0, reps=reps)
     dropout_check = validate_dropout()
     dp_dropout = validate_dp_dropout()
     print(f"# train 16k (auto engine): {train16k}", file=sys.stderr)
@@ -552,6 +600,7 @@ def main():
     print(f"# decode 16k full-band: {decode_16k}", file=sys.stderr)
     print(f"# decode irm mask-head: {decode_irm}", file=sys.stderr)
     print(f"# decode int8 (w8a8 serving): {decode_int8}", file=sys.stderr)
+    print(f"# decode fused 16k (PSM x lps head fusion): {decode_fused}", file=sys.stderr)
     print(f"# dropout validation: {dropout_check}", file=sys.stderr)
     print(f"# dp dropout validation: {dp_dropout}", file=sys.stderr)
 
@@ -562,7 +611,7 @@ def main():
         dropout_check=dropout_check, dp_dropout=dp_dropout,
         gate_detail=(gate_detail := _demo_gate_summary()),
         gen_detail=(gen_detail := _unseen_noise_summary()),
-        train16k_hybrid=train16k_hybrid)
+        train16k_hybrid=train16k_hybrid, decode_fused=decode_fused)
     # Full detail (per-gate rows, mtimes, dropout sub-checks, seen/unseen/gap
     # tables) goes to an artifact next to the compact line — the line itself
     # must stay inside the driver's 2000-char stdout capture window.
@@ -583,7 +632,7 @@ def main():
 def build_payload(*, parity, clean, xla_parity, mega, train16k, stream8,
                   stream1, decode, decode_16k, decode_irm, decode_int8,
                   dropout_check, dp_dropout, gate_detail, gen_detail,
-                  train16k_hybrid=None) -> dict:
+                  train16k_hybrid=None, decode_fused=None) -> dict:
     """The exact dict main() emits — factored out so tests can assert the
     rendered line parses and fits the driver's capture window without a TPU
     (tests/test_bench_line.py, VERDICT r4 item 1)."""
@@ -606,6 +655,8 @@ def build_payload(*, parity, clean, xla_parity, mega, train16k, stream8,
         "decode_16k_audio_s_per_s": round(decode_16k["audio_s_per_s"], 1),
         "decode_irm_audio_s_per_s": round(decode_irm["audio_s_per_s"], 1),
         "decode_int8_audio_s_per_s": round(decode_int8["audio_s_per_s"], 1),
+        "decode_fused16k_audio_s_per_s": (round(decode_fused["audio_s_per_s"], 1)
+                                          if decode_fused else None),
         "train16k_audio_s_per_s": round(train16k["audio_s_per_s"], 1),
         "train16k_step_ms": round(train16k["step_ms"], 3),
         "train16k_engine": train16k["engine"],

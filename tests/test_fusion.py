@@ -100,3 +100,27 @@ def test_sweep_fusion_runs_and_is_self_calibrating(models):
     for r in res["table"]:
         for k in ("lsd_gain", "stoi_gain", "segsnr_gain", "score"):
             assert np.isfinite(r[k])
+
+
+def test_fused_serving_decoder_matches_eager(models, noisy):
+    """The batched jitted fused decoder must reproduce the eager fused
+    decode (keep-prob folding + shared-STFT program are optimizations, not
+    math changes)."""
+    from tpu_sednn.enhance.fusion import make_fused_serving_decoder
+
+    a, b = models
+    w = (0.65, 0.35)
+    eager = enhance_waveform_fused((a, b), noisy, w)
+    dec = make_fused_serving_decoder((a, b), w)
+    batch = np.stack([noisy, noisy * 0.5])
+    out = np.asarray(dec(batch))
+    assert out.shape == batch.shape
+    np.testing.assert_allclose(out[0], eager, rtol=1e-4, atol=1e-5)
+    # zero-weight models are dropped from the program entirely
+    dec1 = make_fused_serving_decoder((a, b), (0.0, 1.0))
+    from tpu_sednn.enhance.decode import make_serving_decoder
+
+    params, mcfg, ecfg, mean, istd, tn, gv = b
+    single = make_serving_decoder(params, mcfg, ecfg, mean, istd)
+    np.testing.assert_allclose(np.asarray(dec1(batch)),
+                               np.asarray(single(batch)), atol=1e-6)

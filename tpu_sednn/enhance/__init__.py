@@ -12,4 +12,8 @@ from tpu_sednn.enhance.decode import (
     postprocess_mask,
 )
 from tpu_sednn.enhance.streaming import DeviceStreamingEnhancer, StreamingEnhancer
-from tpu_sednn.enhance.fusion import enhance_lps_multi, enhance_waveform_fused
+from tpu_sednn.enhance.fusion import (
+    enhance_lps_multi,
+    enhance_waveform_fused,
+    make_fused_serving_decoder,
+)
