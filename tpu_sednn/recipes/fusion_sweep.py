@@ -21,7 +21,6 @@ self-calibrating.
 from __future__ import annotations
 
 import json
-import os
 import sys
 from typing import Dict, List, Sequence
 
