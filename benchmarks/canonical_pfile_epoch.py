@@ -41,11 +41,24 @@ UTT_SECONDS = 3.0  # TIMIT-like utterance length
 FRAMES_PER_UTT = int(1 + (UTT_SECONDS * SR - 256) // 128)  # 186 @ 8 kHz
 
 
+_POOL_NOISES = None  # set per worker by _pool_init (ships the bank once)
+
+
+def _pool_init(noises):
+    global _POOL_NOISES
+    _POOL_NOISES = noises
+
+
 def _synth_block(args) -> list:
     """Worker (multiprocessing, spawn): synthesize utterances [i0, i1) ->
     [(clean_wav, noisy_wav)].  Deterministic per-utterance rng — block
-    partitioning does not change the corpus."""
+    partitioning does not change the corpus.  The ~5 MB noise bank arrives
+    once per worker via the Pool initializer (shipping it inside every job
+    tuple would re-pickle ~600 MB at the 57k-utt scale); direct callers
+    (tests, the no-pool path) pass it in the args tuple instead."""
     i0, i1, seed, n_samp, noises, kinds, snrs = args
+    if noises is None:
+        noises = _POOL_NOISES
     from tpu_sednn.data.mixing import mix_at_snr, synth_speech
 
     out = []
@@ -74,15 +87,21 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0,
     targ_pfile = os.path.join(work, "clean.pfile")
     norm_path = os.path.join(work, "fea.norm")
     meta_path = os.path.join(work, "meta.json")
+    n_utts = max(1, n_frames_target // FRAMES_PER_UTT)
     if all(os.path.exists(p) for p in (fea_pfile, targ_pfile, norm_path, meta_path)):
-        n_utts = json.load(open(meta_path))["n_utts"]
-        print(f"[corpus] reusing {work}: {n_utts} utts")
-        return fea_pfile, targ_pfile, norm_path, n_utts
+        meta = json.load(open(meta_path))
+        # reuse ONLY a corpus of the requested size and seed — a stale work
+        # dir from a different --frames run must rebuild, not silently
+        # benchmark the wrong scale (code-review r5 finding)
+        if meta["n_utts"] == n_utts and meta.get("seed", seed) == seed:
+            print(f"[corpus] reusing {work}: {meta['n_utts']} utts")
+            return fea_pfile, targ_pfile, norm_path, meta["n_utts"]
+        print(f"[corpus] work dir holds {meta['n_utts']} utts "
+              f"(seed {meta.get('seed', '?')}); need {n_utts} (seed {seed}) "
+              "- rebuilding")
 
     from tpu_sednn.data.mixing import NOISE_KINDS as kinds
     from tpu_sednn.data.mixing import synth_noise
-
-    n_utts = max(1, n_frames_target // FRAMES_PER_UTT)
     rng = np.random.default_rng(seed)
     n_samp = int(UTT_SECONDS * SR)
     snrs = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
@@ -91,14 +110,15 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0,
     # ---- synthesis: spawn pool, blocks of utterances -------------------
     t0 = time.time()
     block = 512
-    jobs = [(i0, min(i0 + block, n_utts), seed, n_samp, noises, kinds, snrs)
+    jobs = [(i0, min(i0 + block, n_utts), seed, n_samp, None, kinds, snrs)
             for i0 in range(0, n_utts, block)]
     wavs: list = []
     import multiprocessing as mp
 
     nproc = min(max(os.cpu_count() or 1, 1), 4)
     if len(jobs) > 1 and nproc > 1:
-        with mp.get_context("spawn").Pool(nproc) as pool:
+        with mp.get_context("spawn").Pool(nproc, initializer=_pool_init,
+                                          initargs=(noises,)) as pool:
             for done, blk in enumerate(pool.imap(_synth_block, jobs)):
                 wavs.extend(blk)
                 if (done + 1) % 20 == 0 or done + 1 == len(jobs):
@@ -106,7 +126,7 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0,
                           f"({time.time() - t0:.0f}s)")
     else:
         for job in jobs:
-            wavs.extend(_synth_block(job))
+            wavs.extend(_synth_block(job[:4] + (noises,) + job[5:]))
     print(f"[corpus] synthesized {n_utts} utts in {time.time() - t0:.0f}s")
 
     # ---- featurization: batched Pallas STFT (one shape -> one compile) --
@@ -148,7 +168,7 @@ def build_corpus(work: str, n_frames_target: int, seed: int = 0,
     save_norm(os.path.join(work, "targ.norm"), t_mean, t_inv_std)
     mean, inv_std = compute_norm(np.concatenate(noisy_feats))
     save_norm(norm_path, mean, inv_std)
-    json.dump({"n_utts": n_utts,
+    json.dump({"n_utts": n_utts, "seed": seed,
                "frames": int(sum(len(f) for f in noisy_feats))},
               open(meta_path, "w"))
     print(f"[corpus] wrote {n_utts} utts, "

@@ -49,7 +49,10 @@ def main() -> int:
     from tpu_sednn.recipes.val_sweep import sweep_run_dir
 
     out_dir = os.path.join(ART, "mc_full_lps_r5")
-    if not os.path.exists(os.path.join(out_dir, "mlp.final.wts")):
+    # resume keys on the LAST artifact the block writes (the copied gate),
+    # so a run that died between train and sweep/gate re-runs the whole
+    # block instead of silently proceeding with unswept decode params
+    if not os.path.exists(os.path.join(ART, "demo_gate_lps_r5.json")):
         mc = MultiConditionConfig(
             out_dir=out_dir, head="lps",
             n_utts=800, variants=2, n_epochs=18,

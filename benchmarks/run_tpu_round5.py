@@ -42,17 +42,21 @@ ART = os.path.join(REPO, "artifacts")
 
 # Pre-import the whole package: NEVER let a lazily-imported module load a
 # NEWER file than its already-imported siblings mid-run (CLAUDE.md: an
-# ImportError killed a round-4 run this way).
-import importlib
-import pkgutil
+# ImportError killed a round-4 run this way).  Guarded against multiprocessing
+# SPAWN children (stage_scale's synthesis pool re-imports this module as
+# __mp_main__): the workers need only numpy+mixing, and an import that ever
+# touched the device would deadlock on the TPU futex the parent holds.
+if __name__ != "__mp_main__":
+    import importlib
+    import pkgutil
 
-import tpu_sednn
+    import tpu_sednn
 
-for _m in pkgutil.walk_packages(tpu_sednn.__path__, "tpu_sednn."):
-    try:
-        importlib.import_module(_m.name)
-    except Exception as e:  # pragma: no cover
-        print(f"[preimport] {_m.name}: {e}", flush=True)
+    for _m in pkgutil.walk_packages(tpu_sednn.__path__, "tpu_sednn."):
+        try:
+            importlib.import_module(_m.name)
+        except Exception as e:  # pragma: no cover
+            print(f"[preimport] {_m.name}: {e}", flush=True)
 
 
 def log(msg: str) -> None:

@@ -532,13 +532,13 @@ def test_auto_engine_degrade_order_for_16k(monkeypatch):
     assert _auto_engine(cfg_16k, opt) == ("xla", {})
     monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
     monkeypatch.delenv("TPU_SEDNN_NO_SPILL_FALLBACK")
-    # a caller-pinned tile_rows rules out the hybrid rung (unsupported
-    # combo) but not sr_delta
-    monkeypatch.setenv("TPU_SEDNN_NO_SR_FALLBACK", "1")
-    assert _auto_engine(cfg_16k, opt, {"tile_rows": 128}) == ("xla", {})
-    monkeypatch.delenv("TPU_SEDNN_NO_SR_FALLBACK")
+    # tile_rows == bunchsize is accum=1, valid with either rung;
+    # tile_rows < bunchsize means row-tiled ACCUMULATION, which neither
+    # degrade rung supports — auto must fall to XLA, never propose a
+    # combination the factory raises on (code-review r5 finding)
     assert _auto_engine(cfg_16k, opt, {"tile_rows": 128}) == (
         "resident", {"sr_delta": True})
+    assert _auto_engine(cfg_16k, opt, {"tile_rows": 64}) == ("xla", {})
     # something absurdly large still falls back to XLA
     cfg_huge = ModelConfig(layersizes=(8192, 8192, 8192, 8192))
     assert _auto_engine(cfg_huge, opt) == ("xla", {})

@@ -320,8 +320,9 @@ def synth_noise(rng: np.random.Generator, n_samples: int, kind: str = "white") -
                        min(2000, n_samples))
         x = x * (0.3 + gust / (gust.max() + 1e-9))
     elif kind == "crowd":
-        # many distant talkers: denser than babble (20 sources), smeared by a
-        # room-ish 30 ms smoothing so no single voice dominates
+        # many distant talkers: denser than babble (20 sources; the
+        # 20-voice sum itself is the diffuseness) plus a light sub-ms
+        # smoothing and a noise bed
         x = sum(synth_speech(rng, n_samples) for _ in range(20)).astype(np.float64)
         x = _smooth(x, 5) + 0.1 * rng.standard_normal(n_samples)
     elif kind == "amtone":

@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     if args.fuse_with and (args.stream > 0 or args.quant != "none"):
         raise SystemExit("--fuse-with is an offline f32 decode "
                          "(no --stream/--quant)")
+    if args.fuse_with and not 0.0 <= args.fuse_alpha <= 1.0:
+        raise SystemExit(f"--fuse-alpha {args.fuse_alpha} outside [0, 1] "
+                         "(the blend is convex)")
 
     from tpu_sednn.dsp import StftConfig
     from tpu_sednn.enhance import EnhanceConfig, enhance_waveform
@@ -115,6 +118,11 @@ def main(argv=None) -> int:
         dropout_vis=args.visible_omit, dropout_hid=args.hid_omit,
         dropout_mode="parity",
     )
+    fuse_model = None
+    if args.fuse_with:  # load the fusion partner ONCE, not per input wav
+        from tpu_sednn.recipes.artifact import load_run_dir
+
+        fuse_model = load_run_dir(args.fuse_with)
     os.makedirs(args.out_dir, exist_ok=True)
     for path in args.wavs:
         x, sr = read_wav(path)
@@ -155,9 +163,8 @@ def main(argv=None) -> int:
             y = np.asarray(dec(x[None, :])[0])
         elif args.fuse_with:
             from tpu_sednn.enhance.fusion import enhance_waveform_fused
-            from tpu_sednn.recipes.artifact import load_run_dir
 
-            model_b = load_run_dir(args.fuse_with)
+            model_b = fuse_model
             if model_b[2].stft.sample_rate != sr:
                 raise SystemExit(
                     f"--fuse-with model is {model_b[2].stft.sample_rate} Hz, "

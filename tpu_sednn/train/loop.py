@@ -77,11 +77,18 @@ def _auto_engine(cfg: ModelConfig, opt: OptConfig,
 
     plain = (not opts["sr_state"] and not opts["sr_delta"]
              and not opts["hbm_spill"])
-    if (plain and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
+    # a caller-pinned tile_rows < bunchsize means row-tiled ACCUMULATION,
+    # which the resident factory rejects combined with either degrade rung
+    # (sr_delta rides in the f32 momentum buffer; hbm_spill would stream
+    # the spilled momentum per tile) — degrade to XLA instead of proposing
+    # a combination make_resident_train_chunk raises on
+    no_accum = opts["tile_rows"] in (None, opt.bunchsize)
+    if (plain and no_accum
+            and not os.environ.get("TPU_SEDNN_NO_SR_FALLBACK")
             and resident_fits_vmem(cfg, opt, **{**opts, "sr_delta": True})):
         return "resident", {"sr_delta": True}
-    if (plain and not os.environ.get("TPU_SEDNN_NO_SPILL_FALLBACK")
-            and opts["tile_rows"] is None
+    if (plain and no_accum
+            and not os.environ.get("TPU_SEDNN_NO_SPILL_FALLBACK")
             and resident_fits_vmem(cfg, opt, **{**opts, "hbm_spill": 1})):
         return "resident", {"hbm_spill": 1}
     return "xla", {}
